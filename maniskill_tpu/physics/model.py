@@ -1,0 +1,426 @@
+"""Scene model: static scene description + simulation state pytree.
+
+This is the TPU-native replacement for the reference's scene layer
+(``mani_skill/envs/scene.py`` + ``mani_skill/utils/structs``): where the
+reference wraps opaque PhysX GPU buffers with torch views and explicit
+apply/fetch round-trips (scene.py:941-977), here the state simply *is* a JAX
+pytree (``SimState``) and the static scene description (``SceneModel``) is
+closed over by the jitted step function. All reference semantics carried over:
+batch-leading shapes, the 13-float actor state layout ``[p, q, lin_vel,
+ang_vel]`` (structs/base.py:209), masked partial resets, merged heterogeneous
+scenes via padding.
+
+Bodies come in four kinds:
+  * the robot articulation (generalized coordinates, fixed or mobile base)
+  * free rigid bodies (13-dim state each)
+  * kinematic bodies (pose settable, infinite mass — e.g. goal sites, tables)
+  * static world geometry (ground plane)
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from enum import IntEnum
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..kinematics.urdf import JOINT_PRISMATIC, JOINT_REVOLUTE, RobotSpec
+from .shapes import GeomType, contact_fn
+
+
+class BodyKind(IntEnum):
+    STATIC = 0
+    KINEMATIC = 1
+    FREE = 2
+    ROBOT_LINK = 3
+
+
+@dataclass(frozen=True)
+class GeomSpec:
+    """One collision geometry, attached to a body."""
+
+    kind: BodyKind
+    body: int  # robot body index / free index / kin index / static index
+    gtype: GeomType
+    size: np.ndarray  # (3,)
+    offset_p: np.ndarray  # (3,) local offset in body frame
+    offset_q: np.ndarray  # (4,)
+    friction: float = 0.3
+    name: str = ""
+
+
+@dataclass(frozen=True)
+class SimParams:
+    """Solver parameters (static). Loosely mirrors the reference's
+    SceneConfig/SimConfig (``mani_skill/utils/structs/types.py:36-91``), with
+    PhysX's iterative-solver knobs replaced by compliant-contact parameters."""
+
+    dt: float = 0.01  # outer sim step (sim_freq=100, reference types.py:82)
+    substeps: int = 4  # inner integrator substeps per sim step
+    gravity: Tuple[float, float, float] = (0.0, 0.0, -9.81)
+    contact_stiffness: float = 2.0e4  # N/m penalty spring
+    contact_damping_ratio: float = 1.0  # fraction of critical damping
+    friction_vreg: float = 0.005  # m/s tangential regularization velocity
+    joint_limit_stiffness: float = 4.0e3
+    joint_limit_damping: float = 1.0e2
+    contact_margin: float = 0.0  # activation margin (m)
+
+
+@struct.dataclass
+class SimState:
+    """Per-environment simulation state (leading batch dims allowed)."""
+
+    qpos: jnp.ndarray  # (nq,)
+    qvel: jnp.ndarray  # (nq,)
+    free_pose: jnp.ndarray  # (n_free, 7) [p, q_wxyz]
+    free_vel: jnp.ndarray  # (n_free, 6) [lin_vel, ang_vel]  (ManiSkill layout)
+    kin_pose: jnp.ndarray  # (n_kin, 7)
+
+
+@struct.dataclass
+class DriveCmd:
+    """PD drive command produced by the controller layer, consumed by the
+    physics step (reference analogue: PhysX joint drive targets set by
+    ``set_joint_drive_targets``, pd_joint_pos.py:69)."""
+
+    target_qpos: jnp.ndarray  # (nq,)
+    target_qvel: jnp.ndarray  # (nq,)
+    qf: jnp.ndarray  # (nq,) extra generalized force
+
+
+class SceneModel:
+    """Static scene description. Instances are hashable-by-identity and closed
+    over by jitted step functions; all ndarray members are numpy (host)
+    constants."""
+
+    def __init__(
+        self,
+        robot: Optional[RobotSpec],
+        robot_base_pose: np.ndarray,
+        free_names: List[str],
+        free_mass: np.ndarray,
+        free_inertia: np.ndarray,  # (n_free, 3, 3) about CoM (body frame)
+        kin_names: List[str],
+        static_names: List[str],
+        static_pose: np.ndarray,  # (n_static, 7)
+        geoms: List[GeomSpec],
+        pairs: List[Tuple[int, int]],
+        params: SimParams,
+        drive_kp: np.ndarray,
+        drive_kd: np.ndarray,
+        drive_force_limit: np.ndarray,
+        init_qpos: np.ndarray,
+    ):
+        self.robot = robot
+        self.robot_base_pose = robot_base_pose.astype(np.float32)
+        self.free_names = free_names
+        self.free_mass = free_mass.astype(np.float32)
+        self.free_inertia = free_inertia.astype(np.float32)
+        self.kin_names = kin_names
+        self.static_names = static_names
+        self.static_pose = static_pose.astype(np.float32)
+        self.geoms = geoms
+        self.pairs = pairs
+        self.params = params
+        self.drive_kp = drive_kp.astype(np.float32)
+        self.drive_kd = drive_kd.astype(np.float32)
+        self.drive_force_limit = drive_force_limit.astype(np.float32)
+        self.init_qpos = init_qpos.astype(np.float32)
+
+        self.nq = robot.nb if robot is not None else 0
+        self.n_free = len(free_names)
+        self.n_kin = len(kin_names)
+        self.free_index = {n: i for i, n in enumerate(free_names)}
+        self.kin_index = {n: i for i, n in enumerate(kin_names)}
+
+        if robot is not None:
+            # static ancestor mask: anc[b, j] = 1 if dof j actuates body b
+            anc = np.zeros((robot.nb, robot.nb), dtype=np.float32)
+            for b in range(robot.nb):
+                j = b
+                while j >= 0:
+                    anc[b, j] = 1.0
+                    j = int(robot.parent[j])
+            self.ancestor_mask = anc
+            # inertia about CoM in body frame (spec stores about body origin)
+            Ic = []
+            for i in range(robot.nb):
+                c = robot.com[i]
+                m = robot.mass[i]
+                Ic.append(
+                    robot.inertia[i]
+                    - m * (np.dot(c, c) * np.eye(3) - np.outer(c, c))
+                )
+            self.robot_inertia_com = np.stack(Ic).astype(np.float32)
+            self.robot_qlim = robot.qlim.astype(np.float32)
+        else:
+            self.ancestor_mask = np.zeros((0, 0), dtype=np.float32)
+            self.robot_inertia_com = np.zeros((0, 3, 3), dtype=np.float32)
+            self.robot_qlim = np.zeros((0, 2), dtype=np.float32)
+
+        # Precompute per-pair static tables
+        self._build_pair_tables()
+
+    def _build_pair_tables(self):
+        """Group contact pairs and precompute combined friction etc."""
+        self.pair_table = []
+        for (ia, ib) in self.pairs:
+            ga, gb = self.geoms[ia], self.geoms[ib]
+            fn, k, swapped = contact_fn(ga.gtype, gb.gtype)
+            mu = 0.5 * (ga.friction + gb.friction)  # PhysX default: average
+            self.pair_table.append((ia, ib, fn, k, swapped, mu))
+        self.n_contact_points = sum(t[3] for t in self.pair_table)
+
+    # -- state helpers ------------------------------------------------------
+    def initial_state(self) -> SimState:
+        """Single-env zero state with robot at init_qpos."""
+        free_pose = np.zeros((self.n_free, 7), dtype=np.float32)
+        free_pose[:, 3] = 1.0
+        kin_pose = np.zeros((self.n_kin, 7), dtype=np.float32)
+        kin_pose[:, 3] = 1.0
+        return SimState(
+            qpos=jnp.asarray(self.init_qpos),
+            qvel=jnp.zeros(self.nq),
+            free_pose=jnp.asarray(free_pose),
+            free_vel=jnp.zeros((self.n_free, 6)),
+            kin_pose=jnp.asarray(kin_pose),
+        )
+
+    def batch_state(self, state: SimState, batch: int) -> SimState:
+        return jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (batch,) + x.shape), state
+        )
+
+
+class SceneSpecBuilder:
+    """Imperative builder used by tasks to assemble a SceneModel — the
+    TPU-native analogue of the reference's ActorBuilder/SceneBuilder layer
+    (``mani_skill/utils/building/actor_builder.py:191``)."""
+
+    def __init__(self, params: SimParams = SimParams()):
+        self.params = params
+        self.robot: Optional[RobotSpec] = None
+        self.robot_base_pose = np.array([0, 0, 0, 1, 0, 0, 0], dtype=np.float32)
+        self.free_names: List[str] = []
+        self.free_mass: List[float] = []
+        self.free_inertia: List[np.ndarray] = []
+        self.kin_names: List[str] = []
+        self.static_names: List[str] = []
+        self.static_pose: List[np.ndarray] = []
+        self.geoms: List[GeomSpec] = []
+        self._collision_enabled: List[bool] = []
+        self._robot_adjacent: set = set()
+        self.drive_kp = None
+        self.drive_kd = None
+        self.drive_force_limit = None
+        self.init_qpos = None
+        self._excluded_pairs: set = set()
+
+    # -- robot --------------------------------------------------------------
+    def add_robot(
+        self,
+        spec: RobotSpec,
+        base_pose: np.ndarray,
+        collision_geoms: List[dict],
+        init_qpos: Optional[np.ndarray] = None,
+    ):
+        """collision_geoms: list of dicts with keys
+        {link, type, size, offset_p, offset_q, friction}."""
+        assert self.robot is None, "one robot per scene (use MultiAgent later)"
+        self.robot = spec
+        self.robot_base_pose = np.asarray(base_pose, dtype=np.float32)
+        for g in collision_geoms:
+            link = g["link"]
+            body_idx, fp, fq = spec.frame_of(link)
+            off_p = np.asarray(g.get("offset_p", np.zeros(3)), dtype=np.float64)
+            off_q = np.asarray(g.get("offset_q", [1, 0, 0, 0]), dtype=np.float64)
+            # compose frame offset with geom offset
+            from ..kinematics.urdf import _pose_mul
+
+            p, q = _pose_mul(fp, fq, off_p, off_q)
+            self.geoms.append(
+                GeomSpec(
+                    kind=BodyKind.ROBOT_LINK,
+                    body=body_idx,
+                    gtype=GeomType(g["type"]),
+                    size=np.asarray(g["size"], dtype=np.float32),
+                    offset_p=p.astype(np.float32),
+                    offset_q=q.astype(np.float32),
+                    friction=g.get("friction", 0.3),
+                    name=f"robot:{link}",
+                )
+            )
+            self._collision_enabled.append(True)
+        self.init_qpos = (
+            np.asarray(init_qpos, dtype=np.float32)
+            if init_qpos is not None
+            else np.zeros(spec.nb, dtype=np.float32)
+        )
+        # default drive gains (overridden by controller setup)
+        self.drive_kp = np.zeros(spec.nb, dtype=np.float32)
+        self.drive_kd = np.zeros(spec.nb, dtype=np.float32)
+        self.drive_force_limit = np.full(spec.nb, 1e10, dtype=np.float32)
+
+    def set_drive_properties(self, kp, kd, force_limit):
+        self.drive_kp = np.broadcast_to(np.asarray(kp, np.float32), (self.robot.nb,)).copy()
+        self.drive_kd = np.broadcast_to(np.asarray(kd, np.float32), (self.robot.nb,)).copy()
+        self.drive_force_limit = np.broadcast_to(
+            np.asarray(force_limit, np.float32), (self.robot.nb,)
+        ).copy()
+
+    # -- bodies -------------------------------------------------------------
+    def add_free_body(
+        self,
+        name: str,
+        mass: float,
+        inertia: np.ndarray,
+        geoms: List[dict],
+    ) -> int:
+        idx = len(self.free_names)
+        self.free_names.append(name)
+        self.free_mass.append(mass)
+        self.free_inertia.append(np.asarray(inertia, dtype=np.float32))
+        for g in geoms:
+            self.geoms.append(
+                GeomSpec(
+                    kind=BodyKind.FREE,
+                    body=idx,
+                    gtype=GeomType(g["type"]),
+                    size=np.asarray(g["size"], dtype=np.float32),
+                    offset_p=np.asarray(g.get("offset_p", np.zeros(3)), np.float32),
+                    offset_q=np.asarray(g.get("offset_q", [1, 0, 0, 0]), np.float32),
+                    friction=g.get("friction", 0.3),
+                    name=name,
+                )
+            )
+            self._collision_enabled.append(g.get("collision", True))
+        return idx
+
+    def add_kinematic_body(self, name: str, geoms: List[dict] = ()) -> int:
+        idx = len(self.kin_names)
+        self.kin_names.append(name)
+        for g in geoms:
+            self.geoms.append(
+                GeomSpec(
+                    kind=BodyKind.KINEMATIC,
+                    body=idx,
+                    gtype=GeomType(g["type"]),
+                    size=np.asarray(g["size"], dtype=np.float32),
+                    offset_p=np.asarray(g.get("offset_p", np.zeros(3)), np.float32),
+                    offset_q=np.asarray(g.get("offset_q", [1, 0, 0, 0]), np.float32),
+                    friction=g.get("friction", 0.3),
+                    name=name,
+                )
+            )
+            self._collision_enabled.append(g.get("collision", True))
+        return idx
+
+    def add_static_body(self, name: str, pose: np.ndarray, geoms: List[dict]) -> int:
+        idx = len(self.static_names)
+        self.static_names.append(name)
+        self.static_pose.append(np.asarray(pose, dtype=np.float32))
+        for g in geoms:
+            self.geoms.append(
+                GeomSpec(
+                    kind=BodyKind.STATIC,
+                    body=idx,
+                    gtype=GeomType(g["type"]),
+                    size=np.asarray(g["size"], dtype=np.float32),
+                    offset_p=np.asarray(g.get("offset_p", np.zeros(3)), np.float32),
+                    offset_q=np.asarray(g.get("offset_q", [1, 0, 0, 0]), np.float32),
+                    friction=g.get("friction", 0.3),
+                    name=name,
+                )
+            )
+            self._collision_enabled.append(g.get("collision", True))
+        return idx
+
+    def exclude_pair(self, name_a: str, name_b: str):
+        self._excluded_pairs.add(frozenset((name_a, name_b)))
+
+    # -- build --------------------------------------------------------------
+    def build(self) -> SceneModel:
+        pairs = []
+        n = len(self.geoms)
+        for i in range(n):
+            for j in range(i + 1, n):
+                gi, gj = self.geoms[i], self.geoms[j]
+                if not (self._collision_enabled[i] and self._collision_enabled[j]):
+                    continue
+                # never collide two non-dynamic geoms
+                both_static = gi.kind in (BodyKind.STATIC, BodyKind.KINEMATIC) and gj.kind in (
+                    BodyKind.STATIC,
+                    BodyKind.KINEMATIC,
+                )
+                if both_static:
+                    continue
+                # robot self-collision: skip same body and parent-child pairs
+                if gi.kind == BodyKind.ROBOT_LINK and gj.kind == BodyKind.ROBOT_LINK:
+                    if gi.body == gj.body:
+                        continue
+                    pa = int(self.robot.parent[gj.body]) if gj.body >= 0 else -2
+                    pb = int(self.robot.parent[gi.body]) if gi.body >= 0 else -2
+                    if pa == gi.body or pb == gj.body:
+                        continue
+                    # v1: robot self-collision off entirely (reference tasks
+                    # rely on PhysX srdf filtering; revisit for humanoids)
+                    continue
+                if frozenset((gi.name, gj.name)) in self._excluded_pairs:
+                    continue
+                # canonical order for contact_fn (lower gtype first)
+                if gi.gtype <= gj.gtype:
+                    pairs.append((i, j))
+                else:
+                    pairs.append((j, i))
+
+        return SceneModel(
+            robot=self.robot,
+            robot_base_pose=self.robot_base_pose,
+            free_names=self.free_names,
+            free_mass=np.asarray(self.free_mass, dtype=np.float32)
+            if self.free_mass
+            else np.zeros(0, dtype=np.float32),
+            free_inertia=np.stack(self.free_inertia)
+            if self.free_inertia
+            else np.zeros((0, 3, 3), dtype=np.float32),
+            kin_names=self.kin_names,
+            static_names=self.static_names,
+            static_pose=np.stack(self.static_pose)
+            if self.static_pose
+            else np.zeros((0, 7), dtype=np.float32),
+            geoms=self.geoms,
+            pairs=pairs,
+            params=self.params,
+            drive_kp=self.drive_kp if self.drive_kp is not None else np.zeros(0),
+            drive_kd=self.drive_kd if self.drive_kd is not None else np.zeros(0),
+            drive_force_limit=self.drive_force_limit
+            if self.drive_force_limit is not None
+            else np.zeros(0),
+            init_qpos=self.init_qpos if self.init_qpos is not None else np.zeros(0),
+        )
+
+
+# convenience geom dict constructors ----------------------------------------
+def box_geom(size, offset_p=(0, 0, 0), offset_q=(1, 0, 0, 0), friction=0.3, collision=True):
+    return dict(type=GeomType.BOX, size=np.asarray(size), offset_p=offset_p,
+                offset_q=offset_q, friction=friction, collision=collision)
+
+
+def sphere_geom(radius, offset_p=(0, 0, 0), friction=0.3, collision=True):
+    return dict(type=GeomType.SPHERE, size=np.array([radius, 0, 0]),
+                offset_p=offset_p, friction=friction, collision=collision)
+
+
+def capsule_geom(radius, half_length, offset_p=(0, 0, 0), offset_q=(1, 0, 0, 0),
+                 friction=0.3, collision=True):
+    return dict(type=GeomType.CAPSULE, size=np.array([radius, half_length, 0]),
+                offset_p=offset_p, offset_q=offset_q, friction=friction,
+                collision=collision)
+
+
+def plane_geom(friction=0.3, collision=True):
+    return dict(type=GeomType.PLANE, size=np.zeros(3), friction=friction,
+                collision=collision)

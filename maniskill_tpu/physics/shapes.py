@@ -1,0 +1,227 @@
+"""Collision primitives and pairwise contact-point generation.
+
+TPU-native replacement for the PhysX narrowphase the reference relies on
+(SURVEY.md §2.9). Every pair function emits a *fixed* number of candidate
+contact points (static shapes ⇒ static counts), with inactive candidates marked
+by ``depth <= 0``. This keeps the whole contact pipeline shape-static so XLA
+can fuse and batch it; there is no dynamic contact buffer to overflow (the
+reference's GPUMemoryConfig knobs become unnecessary).
+
+All functions operate on a single environment instance (poses are unbatched);
+the physics step vmaps over the env/rollout batch dimension.
+
+Conventions:
+  * A pair is (A, B); the returned normal points from B toward A, so the
+    contact force on A acts along +normal.
+  * ``depth > 0`` means penetration.
+  * Positions are world-frame.
+"""
+from __future__ import annotations
+
+from enum import IntEnum
+from typing import NamedTuple, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..math.rotations import quat_apply, quat_conjugate, quat_to_matrix
+
+
+class GeomType(IntEnum):
+    PLANE = 0  # half-space z<=0 in geom frame, normal +z
+    SPHERE = 1  # size[0] = radius
+    BOX = 2  # size = half extents
+    CAPSULE = 3  # size[0] = radius, size[1] = half length (axis +z)
+    CYLINDER = 4  # size[0] = radius, size[1] = half length (axis +z)
+
+
+class ContactPoints(NamedTuple):
+    pos: jnp.ndarray  # (K, 3) world contact position
+    normal: jnp.ndarray  # (K, 3) unit normal, B -> A
+    depth: jnp.ndarray  # (K,) penetration depth, > 0 when in contact
+
+
+_BOX_CORNERS = np.array(
+    [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
+    dtype=np.float32,
+)
+
+
+def _box_corners(pos, quat, half):
+    corners = jnp.asarray(_BOX_CORNERS) * half  # (8, 3)
+    return pos + quat_apply(quat[None], corners)
+
+
+def plane_sphere(pa, qa, sa, pb, qb, sb) -> ContactPoints:
+    """A = plane, B = sphere."""
+    n = quat_apply(qa, jnp.array([0.0, 0.0, 1.0]))
+    r = sb[0]
+    dist = jnp.dot(pb - pa, n) - r
+    pos = pb - n * (r + 0.5 * dist)
+    # normal B->A = -n (pushes B out along +n => force on A is -n side)
+    return ContactPoints(pos[None], -n[None], (-dist)[None])
+
+
+def plane_box(pa, qa, sa, pb, qb, sb) -> ContactPoints:
+    """A = plane, B = box: test all 8 corners."""
+    n = quat_apply(qa, jnp.array([0.0, 0.0, 1.0]))
+    corners = _box_corners(pb, qb, sb)  # (8, 3)
+    dist = (corners - pa) @ n  # (8,)
+    return ContactPoints(corners, jnp.broadcast_to(-n, (8, 3)), -dist)
+
+
+def plane_capsule(pa, qa, sa, pb, qb, sb) -> ContactPoints:
+    n = quat_apply(qa, jnp.array([0.0, 0.0, 1.0]))
+    axis = quat_apply(qb, jnp.array([0.0, 0.0, 1.0]))
+    r, hl = sb[0], sb[1]
+    ends = pb + axis * jnp.array([[-hl], [hl]])  # (2, 3)
+    dist = (ends - pa) @ n - r
+    pos = ends - n[None] * (r + 0.5 * dist)[:, None]
+    return ContactPoints(pos, jnp.broadcast_to(-n, (2, 3)), -dist)
+
+
+def sphere_sphere(pa, qa, sa, pb, qb, sb) -> ContactPoints:
+    d = pa - pb
+    dist = jnp.linalg.norm(d)
+    n = d / jnp.maximum(dist, 1e-9)
+    depth = sa[0] + sb[0] - dist
+    pos = pb + n * (sb[0] - 0.5 * depth)
+    return ContactPoints(pos[None], n[None], depth[None])
+
+
+def _point_box_sdf(p_local: jnp.ndarray, half: jnp.ndarray):
+    """Signed distance + outward normal (local frame) of point(s) vs box.
+    p_local: (..., 3). Returns sdf (...,), normal (..., 3)."""
+    q = jnp.abs(p_local) - half
+    outside = jnp.maximum(q, 0.0)
+    d_out = jnp.linalg.norm(outside, axis=-1)
+    d_in = jnp.minimum(jnp.max(q, axis=-1), 0.0)
+    sdf = d_out + d_in
+    # outward normal: outside -> direction of outside vector; inside -> axis of
+    # least penetration.
+    n_out = outside * jnp.sign(p_local)
+    n_out = n_out / jnp.maximum(jnp.linalg.norm(n_out, axis=-1, keepdims=True), 1e-9)
+    inner_axis = jnp.argmax(q, axis=-1)
+    n_in = jnp.eye(3)[inner_axis] * jnp.sign(
+        jnp.take_along_axis(p_local, inner_axis[..., None], axis=-1)
+    )
+    n = jnp.where((d_out > 1e-9)[..., None], n_out, n_in)
+    return sdf, n
+
+
+def sphere_box(pa, qa, sa, pb, qb, sb) -> ContactPoints:
+    """A = sphere, B = box."""
+    r = sa[0]
+    p_local = quat_apply(quat_conjugate(qb), pa - pb)
+    sdf, n_local = _point_box_sdf(p_local, sb)
+    n = quat_apply(qb, n_local)  # outward from box => B->A direction
+    depth = r - sdf
+    pos = pa - n * (r - 0.5 * depth)
+    return ContactPoints(pos[None], n[None], depth[None])
+
+
+def box_sphere(pa, qa, sa, pb, qb, sb) -> ContactPoints:
+    c = sphere_box(pb, qb, sb, pa, qa, sa)
+    return ContactPoints(c.pos, -c.normal, c.depth)
+
+
+def box_box(pa, qa, sa, pb, qb, sb) -> ContactPoints:
+    """Vertex-SDF box-box: corners of A against B and corners of B against A.
+    16 candidate points. Face-face contact manifolds emerge from the corner
+    sets; edge-edge crossing contacts are approximated (adequate for the
+    tabletop task geometries, cf. reference PhysX PCM which also point-samples
+    patches)."""
+    # corners of A inside B
+    ca = _box_corners(pa, qa, sa)  # (8,3)
+    ca_local = quat_apply(quat_conjugate(qb)[None], ca - pb)
+    sdf_a, n_a_local = _point_box_sdf(ca_local, sb)
+    n_a = quat_apply(qb[None], n_a_local)  # B -> A
+    # corners of B inside A
+    cb = _box_corners(pb, qb, sb)
+    cb_local = quat_apply(quat_conjugate(qa)[None], cb - pa)
+    sdf_b, n_b_local = _point_box_sdf(cb_local, sa)
+    n_b = -quat_apply(qa[None], n_b_local)  # outward from A, flip to B->A
+    pos = jnp.concatenate([ca, cb], axis=0)
+    normal = jnp.concatenate([n_a, n_b], axis=0)
+    depth = jnp.concatenate([-sdf_a, -sdf_b], axis=0)
+    return ContactPoints(pos, normal, depth)
+
+
+def sphere_capsule(pa, qa, sa, pb, qb, sb) -> ContactPoints:
+    axis = quat_apply(qb, jnp.array([0.0, 0.0, 1.0]))
+    t = jnp.clip(jnp.dot(pa - pb, axis), -sb[1], sb[1])
+    closest = pb + axis * t
+    d = pa - closest
+    dist = jnp.linalg.norm(d)
+    n = d / jnp.maximum(dist, 1e-9)
+    depth = sa[0] + sb[0] - dist
+    pos = closest + n * (sb[0] - 0.5 * depth)
+    return ContactPoints(pos[None], n[None], depth[None])
+
+
+def capsule_box(pa, qa, sa, pb, qb, sb) -> ContactPoints:
+    """Sample 3 spheres along the capsule axis against the box."""
+    axis = quat_apply(qa, jnp.array([0.0, 0.0, 1.0]))
+    r, hl = sa[0], sa[1]
+    centers = pa + axis * jnp.array([[-hl], [0.0], [hl]])  # (3,3)
+    p_local = quat_apply(quat_conjugate(qb)[None], centers - pb)
+    sdf, n_local = _point_box_sdf(p_local, sb)
+    n = quat_apply(qb[None], n_local)
+    depth = r - sdf
+    pos = centers - n * (r - 0.5 * depth)[:, None]
+    return ContactPoints(pos, n, depth)
+
+
+def capsule_capsule(pa, qa, sa, pb, qb, sb) -> ContactPoints:
+    """Closest points between the two capsule segments."""
+    ua = quat_apply(qa, jnp.array([0.0, 0.0, 1.0]))
+    ub = quat_apply(qb, jnp.array([0.0, 0.0, 1.0]))
+    ra, ha = sa[0], sa[1]
+    rb, hb = sb[0], sb[1]
+    # segment-segment closest point (clamped)
+    d0 = pa - pb
+    a = 1.0  # ua . ua
+    e = 1.0
+    b = jnp.dot(ua, ub)
+    c = jnp.dot(ua, d0)
+    f = jnp.dot(ub, d0)
+    denom = jnp.maximum(a * e - b * b, 1e-9)
+    s = jnp.clip((b * f - c * e) / denom, -ha, ha)
+    t = jnp.clip((b * s + f) / e, -hb, hb)
+    s = jnp.clip((b * t - c) / a, -ha, ha)
+    ca = pa + ua * s
+    cb = pb + ub * t
+    d = ca - cb
+    dist = jnp.linalg.norm(d)
+    n = d / jnp.maximum(dist, 1e-9)
+    depth = ra + rb - dist
+    pos = cb + n * (rb - 0.5 * depth)
+    return ContactPoints(pos[None], n[None], depth[None])
+
+
+# Dispatch table: (type_a, type_b) -> (fn, n_points). Pairs are canonically
+# ordered by the model builder so only these combinations occur.
+PAIR_FUNCS = {
+    (GeomType.PLANE, GeomType.SPHERE): (plane_sphere, 1),
+    (GeomType.PLANE, GeomType.BOX): (plane_box, 8),
+    (GeomType.PLANE, GeomType.CAPSULE): (plane_capsule, 2),
+    (GeomType.SPHERE, GeomType.SPHERE): (sphere_sphere, 1),
+    (GeomType.SPHERE, GeomType.BOX): (sphere_box, 1),
+    (GeomType.BOX, GeomType.BOX): (box_box, 16),
+    (GeomType.SPHERE, GeomType.CAPSULE): (sphere_capsule, 1),
+    (GeomType.CAPSULE, GeomType.BOX): (capsule_box, 3),
+    (GeomType.CAPSULE, GeomType.CAPSULE): (capsule_capsule, 1),
+}
+
+
+def contact_fn(type_a: int, type_b: int):
+    """Return (fn, n_points, swapped) for a geom type pair."""
+    key = (GeomType(type_a), GeomType(type_b))
+    if key in PAIR_FUNCS:
+        fn, k = PAIR_FUNCS[key]
+        return fn, k, False
+    rkey = (key[1], key[0])
+    if rkey in PAIR_FUNCS:
+        fn, k = PAIR_FUNCS[rkey]
+        return fn, k, True
+    raise NotImplementedError(f"no contact function for {key}")
