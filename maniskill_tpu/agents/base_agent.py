@@ -1,0 +1,166 @@
+"""Agent layer: robot descriptors, controller assembly, proprioception.
+
+TPU-native counterpart of the reference agent stack
+(``mani_skill/agents/base_agent.py``): a robot class declares its URDF,
+collision material overrides, extra primitive collision shapes (for mesh-only
+links), keyframes, and controller configs; ``install`` wires it into a
+SceneSpecBuilder with the selected control mode's drive gains.
+
+Unlike the reference (stateful SAPIEN articulation wrapper), the runtime agent
+here is a thin static object — all dynamic state lives in the env state
+pytree; agent methods are pure functions over it.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..kinematics.urdf import RobotSpec, parse_urdf
+from ..physics.model import SceneSpecBuilder
+from ..physics.shapes import GeomType
+from .controllers.base import (
+    ControllerConfig,
+    PDJointPosControllerConfig,
+    PDJointVelControllerConfig,
+    JointController,
+)
+from .controllers.composite import CompositeController
+
+_GEOM_TYPE_BY_NAME = {
+    "box": GeomType.BOX,
+    "sphere": GeomType.SPHERE,
+    "capsule": GeomType.CAPSULE,
+    "plane": GeomType.PLANE,
+}
+
+
+@dataclass
+class Keyframe:
+    """Named robot configuration (reference base_agent.py:34)."""
+
+    qpos: np.ndarray
+    pose: np.ndarray = field(
+        default_factory=lambda: np.array([0, 0, 0, 1, 0, 0, 0], dtype=np.float32)
+    )
+
+
+REGISTERED_AGENTS: Dict[str, type] = {}
+
+
+def register_agent(cls=None):
+    """Agent registry decorator (reference agents/registration.py)."""
+
+    def deco(c):
+        REGISTERED_AGENTS[c.uid] = c
+        return c
+
+    return deco(cls) if cls is not None else deco
+
+
+class BaseAgent:
+    uid: str = "base"
+    urdf_path: str = ""
+    ee_link_name: Optional[str] = None
+    keyframes: Dict[str, Keyframe] = {}
+    # per-link friction override, e.g. {"panda_leftfinger": 2.0}
+    link_friction: Dict[str, float] = {}
+    default_friction: float = 0.3
+    # extra primitive collisions for mesh-only links:
+    # list of dicts {link, type, size, offset_p, offset_q, friction}
+    extra_collisions: List[dict] = []
+    # links whose URDF primitive collisions should be loaded (None = all)
+    collision_links: Optional[Sequence[str]] = None
+
+    def __init__(self, control_mode: Optional[str] = None):
+        self.robot_spec: RobotSpec = parse_urdf(self.urdf_path)
+        self.nq = self.robot_spec.nb
+        cfgs = self._controller_configs()
+        if control_mode is None:
+            control_mode = next(iter(cfgs))
+        if control_mode not in cfgs:
+            raise KeyError(
+                f"unknown control mode {control_mode!r}; available: {list(cfgs)}"
+            )
+        self.control_mode = control_mode
+        self.supported_control_modes = tuple(cfgs.keys())
+        named = {}
+        for name, cfg in cfgs[control_mode].items():
+            cfg.joint_indices = self._resolve_joints(cfg.joint_names)
+            named[name] = self._make_controller(cfg)
+        self.controller = CompositeController(named, self.nq)
+
+    # -- to override --------------------------------------------------------
+    def _controller_configs(self) -> Dict[str, Dict[str, ControllerConfig]]:
+        raise NotImplementedError
+
+    def _make_controller(self, cfg) -> JointController:
+        from .controllers.ee import EEController, PDEEPosControllerConfig
+
+        if isinstance(cfg, PDEEPosControllerConfig):
+            return EEController(cfg, self)
+        return JointController(cfg, self.robot_spec.qlim, self.nq)
+
+    # -- helpers ------------------------------------------------------------
+    def _resolve_joints(self, names: Sequence[str]) -> np.ndarray:
+        order = {n: i for i, n in enumerate(self.robot_spec.joint_names)}
+        return np.array([order[n] for n in names], dtype=np.int32)
+
+    def collision_geoms(self) -> List[dict]:
+        """Collision geoms for SceneSpecBuilder.add_robot: URDF primitives
+        (with per-link materials applied) + declared extras."""
+        out = []
+        spec = self.robot_spec
+        for body_i, cols in enumerate(spec.body_collisions):
+            for (link_name, ctype, size, p, q) in cols:
+                if (
+                    self.collision_links is not None
+                    and link_name not in self.collision_links
+                ):
+                    continue
+                out.append(
+                    dict(
+                        link=spec.link_names[body_i],
+                        type=_GEOM_TYPE_BY_NAME[ctype],
+                        size=np.resize(np.asarray(size, np.float32), 3),
+                        offset_p=p,
+                        offset_q=q,
+                        friction=self.link_friction.get(
+                            link_name, self.default_friction
+                        ),
+                    )
+                )
+        for g in self.extra_collisions:
+            g = dict(g)
+            g.setdefault(
+                "friction", self.link_friction.get(g["link"], self.default_friction)
+            )
+            out.append(g)
+        return out
+
+    def install(
+        self,
+        builder: SceneSpecBuilder,
+        base_pose: np.ndarray,
+        init_qpos: Optional[np.ndarray] = None,
+    ):
+        """Add this robot (with the active control mode's drive gains) to a
+        scene spec."""
+        if init_qpos is None and "rest" in self.keyframes:
+            init_qpos = self.keyframes["rest"].qpos
+        builder.add_robot(
+            self.robot_spec,
+            base_pose,
+            collision_geoms=self.collision_geoms(),
+            init_qpos=init_qpos,
+        )
+        c = self.controller
+        builder.set_drive_properties(c.kp, c.kd, c.force_limit)
+
+    # -- observation helpers (pure) ----------------------------------------
+    def proprioception(self, qpos: jnp.ndarray, qvel: jnp.ndarray) -> dict:
+        """qpos+qvel dict, mirroring reference ``get_proprioception``
+        (base_agent.py:333)."""
+        return dict(qpos=qpos, qvel=qvel)

@@ -1,0 +1,430 @@
+"""Batched environment runtime.
+
+TPU-native rebuild of the reference core runtime (``mani_skill/envs/
+sapien_env.py:BaseEnv``): obs/reward/control-mode dispatch, reset & episode
+initialization, sim-vs-control frequency sub-stepping, seeding, state
+get/set — but as a *functional core* (pure single-env ``reset``/``step``
+transformed with vmap + jit) wrapped in a thin stateful class carrying the
+batched ``EnvState`` pytree.
+
+Reference call-stack parity (SURVEY.md §3.3): one ``env.step`` =
+controller.set_action → physics step × (sim_freq/control_freq) → evaluate →
+obs → reward, all fused into a single jitted function; partial resets are
+``jnp.where`` masks instead of the reference's ``scene._reset_mask`` buffer
+writes (scene.py:92-94).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..agents.base_agent import REGISTERED_AGENTS, BaseAgent
+from ..kinematics import chain
+from ..math.pose import Pose
+from ..physics.engine import make_step_fn
+from ..physics.model import (
+    DriveCmd,
+    SceneModel,
+    SceneSpecBuilder,
+    SimParams,
+    SimState,
+)
+
+
+@struct.dataclass
+class EnvState:
+    """Complete per-env state: simulation + controller + episode bookkeeping.
+    This is the full checkpoint/restart payload (reference analogue:
+    ``env.get_state_dict()`` + controller state, sapien_env.py:1153-1199)."""
+
+    sim: SimState
+    cmd: DriveCmd
+    elapsed_steps: jnp.ndarray  # () int32
+    rng: jnp.ndarray  # per-env PRNG key
+    extras: Dict[str, jnp.ndarray]  # task-specific episode data (goals, ...)
+
+
+class TaskContext:
+    """Per-step derived kinematic quantities handed to task hooks so FK is
+    computed once per step (reference analogue: cached struct views)."""
+
+    def __init__(self, env: "BaseEnv", state: EnvState):
+        self.env = env
+        self.state = state
+        model = env.model
+        if model.nq > 0:
+            self.body_pos, self.body_quat, self.axis_w = chain.fk(
+                model.robot, jnp.asarray(model.robot_base_pose), state.sim.qpos
+            )
+        else:
+            self.body_pos = jnp.zeros((0, 3))
+            self.body_quat = jnp.zeros((0, 4))
+            self.axis_w = jnp.zeros((0, 3))
+        self._frames: Dict[str, Pose] = {}
+
+    def frame_pose(self, name: str) -> Pose:
+        if name not in self._frames:
+            p, q = chain.frame_pose(
+                self.env.model.robot,
+                jnp.asarray(self.env.model.robot_base_pose),
+                self.body_pos,
+                self.body_quat,
+                name,
+            )
+            self._frames[name] = Pose(p, q)
+        return self._frames[name]
+
+    @property
+    def tcp_pose(self) -> Pose:
+        return self.frame_pose(self.env.agent.ee_link_name)
+
+    def actor_pose(self, name: str) -> Pose:
+        i = self.env.model.free_index.get(name)
+        if i is not None:
+            return Pose.from_raw(self.state.sim.free_pose[i])
+        j = self.env.model.kin_index[name]
+        return Pose.from_raw(self.state.sim.kin_pose[j])
+
+    def actor_vel(self, name: str) -> jnp.ndarray:
+        i = self.env.model.free_index.get(name)
+        if i is not None:
+            return self.state.sim.free_vel[i]
+        return jnp.zeros(6)
+
+
+class BaseEnv:
+    """Subclass per task; override the task-authoring contract
+    (reference sapien_env.py:371-443 / envs/template.py):
+      _load_scene, _initialize_episode, evaluate, _get_obs_extra,
+      compute_dense_reward, compute_normalized_dense_reward
+    """
+
+    SUPPORTED_ROBOTS = ["panda"]
+    SUPPORTED_OBS_MODES = ("state", "state_dict", "none")
+    SUPPORTED_REWARD_MODES = ("normalized_dense", "dense", "sparse", "none")
+    DEFAULT_ROBOT = "panda"
+    # reference SimConfig defaults: sim_freq=100, control_freq=20 (types.py:82)
+    SIM_FREQ = 100
+    CONTROL_FREQ = 20
+    max_episode_steps: Optional[int] = None  # set by registry
+
+    def __init__(
+        self,
+        num_envs: int = 1,
+        obs_mode: str = "state",
+        reward_mode: str = "normalized_dense",
+        control_mode: Optional[str] = "pd_joint_delta_pos",
+        robot_uids: Optional[str] = None,
+        sim_params: Optional[SimParams] = None,
+        robot_init_qpos_noise: float = 0.02,
+        **kwargs,
+    ):
+        assert obs_mode in self.SUPPORTED_OBS_MODES, obs_mode
+        assert reward_mode in self.SUPPORTED_REWARD_MODES, reward_mode
+        self.num_envs = num_envs
+        self.obs_mode = obs_mode
+        self.reward_mode = reward_mode
+        self.robot_uids = robot_uids or self.DEFAULT_ROBOT
+        self.robot_init_qpos_noise = robot_init_qpos_noise
+
+        params = sim_params or SimParams(dt=1.0 / self.SIM_FREQ)
+        self.sim_steps_per_control = self.SIM_FREQ // self.CONTROL_FREQ
+
+        # --- build scene (reference _reconfigure path, sapien_env.py:648) ---
+        agent_cls = REGISTERED_AGENTS[self.robot_uids]
+        self.agent: BaseAgent = agent_cls(control_mode=control_mode)
+        self.control_mode = self.agent.control_mode
+        builder = SceneSpecBuilder(params)
+        self._load_agent(builder)
+        self._load_scene(builder)
+        self.model: SceneModel = builder.build()
+        self._physics_step = make_step_fn(self.model)
+        self._post_build()
+
+        # action space (flat Box like reference CombinedController)
+        self.single_action_space = (
+            self.agent.controller.action_low,
+            self.agent.controller.action_high,
+        )
+        self.action_dim = self.agent.controller.action_dim
+
+        # jitted batched fns
+        self._jit_step = jax.jit(jax.vmap(self._step_one))
+        self._jit_reset = jax.jit(jax.vmap(self._reset_one))
+        self._jit_masked_reset = jax.jit(self._masked_reset)
+
+        self._state: Optional[EnvState] = None
+        self._main_seed = None
+
+    # ------------------------------------------------------------------
+    # task-authoring contract (override in subclasses)
+    # ------------------------------------------------------------------
+    def _load_agent(self, builder: SceneSpecBuilder):
+        self.agent.install(builder, np.array([0, 0, 0, 1, 0, 0, 0], np.float32))
+
+    def _load_scene(self, builder: SceneSpecBuilder):
+        raise NotImplementedError
+
+    def _post_build(self):
+        """Hook after the SceneModel exists (build contact queries etc.)."""
+
+    def _initialize_episode(self, state: EnvState, key) -> EnvState:
+        """Pure per-env episode randomization; return updated state."""
+        return state
+
+    def evaluate(self, state: EnvState, ctx: TaskContext) -> Dict[str, jnp.ndarray]:
+        return dict(success=jnp.zeros((), dtype=bool))
+
+    def _get_obs_extra(self, state: EnvState, ctx: TaskContext, info) -> Dict:
+        return {}
+
+    def compute_dense_reward(self, state, action, info, ctx) -> jnp.ndarray:
+        return jnp.zeros(())
+
+    def compute_normalized_dense_reward(self, state, action, info, ctx):
+        return self.compute_dense_reward(state, action, info, ctx)
+
+    def compute_sparse_reward(self, state, action, info, ctx):
+        """info['success'] - info['fail'] (reference sapien_env.py:637-643)."""
+        r = info["success"].astype(jnp.float32)
+        if "fail" in info:
+            r = r - info["fail"].astype(jnp.float32)
+        return r
+
+    # ------------------------------------------------------------------
+    # functional core (single env; vmapped)
+    # ------------------------------------------------------------------
+    def _initial_sim_state(self, key) -> SimState:
+        state = self.model.initial_state()
+        if self.model.nq > 0 and self.robot_init_qpos_noise > 0:
+            noise = self.robot_init_qpos_noise * jax.random.normal(
+                key, (self.model.nq,)
+            )
+            # gripper joints excluded from noise in reference table scene
+            # builder (scene_builder.py:80-84); noise only on arm joints
+            mask = jnp.asarray(
+                (self.model.robot.joint_type == 0).astype(np.float32)
+            )
+            state = state.replace(qpos=state.qpos + noise * mask)
+        return state
+
+    def _reset_one(self, key) -> Tuple[EnvState, Any, Dict]:
+        k_init, k_ep, k_next = jax.random.split(key, 3)
+        sim = self._initial_sim_state(k_init)
+        state = EnvState(
+            sim=sim,
+            cmd=DriveCmd(
+                target_qpos=sim.qpos,
+                target_qvel=jnp.zeros(self.model.nq),
+                qf=jnp.zeros(self.model.nq),
+            ),
+            elapsed_steps=jnp.zeros((), jnp.int32),
+            rng=k_next,
+            extras=self._default_extras(),
+        )
+        state = self._initialize_episode(state, k_ep)
+        # controller reset from (possibly task-modified) qpos
+        state = state.replace(cmd=self.agent.controller.reset(state.sim.qpos))
+        ctx = TaskContext(self, state)
+        info = self.evaluate(state, ctx)
+        obs = self._get_obs(state, ctx, info)
+        return state, obs, info
+
+    def _default_extras(self) -> Dict[str, jnp.ndarray]:
+        """Zero-valued extras pytree (so reset/step have matching structure)."""
+        return {}
+
+    def _step_one(self, state: EnvState, action) -> Tuple[EnvState, Any, Any, Any, Dict]:
+        action = jnp.nan_to_num(jnp.asarray(action, jnp.float32))
+        ctx0 = TaskContext(self, state)
+        aux = (
+            jnp.asarray(self.model.robot_base_pose),
+            ctx0.body_pos,
+            ctx0.body_quat,
+            ctx0.axis_w,
+        )
+        cmd = self.agent.controller.set_action(
+            state.cmd, state.sim.qpos, action, aux=aux
+        )
+        sim = self._physics_step(state.sim, cmd, self.sim_steps_per_control)
+        state = state.replace(
+            sim=sim, cmd=cmd, elapsed_steps=state.elapsed_steps + 1
+        )
+        ctx = TaskContext(self, state)
+        info = self.evaluate(state, ctx)
+        obs = self._get_obs(state, ctx, info)
+        reward = self._get_reward(state, action, info, ctx)
+        terminated = info.get("success", jnp.zeros((), bool))
+        if "fail" in info:
+            terminated = terminated | info["fail"]
+        return state, obs, reward, terminated, info
+
+    def _get_reward(self, state, action, info, ctx):
+        if self.reward_mode == "dense":
+            return self.compute_dense_reward(state, action, info, ctx)
+        if self.reward_mode == "normalized_dense":
+            return self.compute_normalized_dense_reward(state, action, info, ctx)
+        if self.reward_mode == "sparse":
+            return self.compute_sparse_reward(state, action, info, ctx)
+        return jnp.zeros(())
+
+    def _get_obs(self, state: EnvState, ctx: TaskContext, info):
+        if self.obs_mode == "none":
+            return jnp.zeros((0,))
+        agent_obs = self.agent.proprioception(state.sim.qpos, state.sim.qvel)
+        extra = self._get_obs_extra(state, ctx, info)
+        obs = dict(agent=agent_obs, extra=extra)
+        if self.obs_mode == "state_dict":
+            return obs
+        # "state": deterministic ordered flattening (reference
+        # common.py:flatten_state_dict contract — insertion order)
+        return flatten_state_dict(obs)
+
+    def _masked_reset(self, state: EnvState, keys, mask):
+        """Partial reset: reset envs where mask is True, keep others.
+        Reference: reset(options={'env_idx': ...}), sapien_env.py:815-841."""
+        new_state, obs, info = jax.vmap(self._reset_one)(keys)
+        merged = jax.tree.map(
+            lambda n, o: jnp.where(
+                mask.reshape((-1,) + (1,) * (n.ndim - 1)), n, o
+            ),
+            new_state,
+            state,
+        )
+        return merged, obs, info
+
+    # ------------------------------------------------------------------
+    # stateful batched API (reference gym-facing surface)
+    # ------------------------------------------------------------------
+    def reset(self, seed: Optional[int] = None, options: Optional[dict] = None):
+        options = options or {}
+        if seed is None:
+            if self._main_seed is None:
+                seed = 0
+                self._main_seed = seed
+            else:
+                self._main_seed += 1
+                seed = self._main_seed
+        else:
+            self._main_seed = seed
+        base = jax.random.key(seed)
+        keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(
+            jnp.arange(self.num_envs)
+        )
+        env_idx = options.get("env_idx", None)
+        if env_idx is not None and self._state is not None:
+            mask = jnp.zeros(self.num_envs, dtype=bool).at[jnp.asarray(env_idx)].set(True)
+            self._state, obs, info = self._jit_masked_reset(self._state, keys, mask)
+        else:
+            self._state, obs, info = self._jit_reset(keys)
+        return obs, info
+
+    def step(self, action):
+        action = jnp.asarray(action, dtype=jnp.float32)
+        if action.ndim == 1:
+            action = jnp.broadcast_to(action, (self.num_envs,) + action.shape)
+        self._state, obs, reward, terminated, info = self._jit_step(
+            self._state, action
+        )
+        truncated = (
+            self._state.elapsed_steps >= self.max_episode_steps
+            if self.max_episode_steps is not None
+            else jnp.zeros(self.num_envs, dtype=bool)
+        )
+        return obs, reward, terminated, truncated, info
+
+    @property
+    def elapsed_steps(self):
+        return self._state.elapsed_steps
+
+    # -- state get/set (reference sapien_env.py:1153-1199 contract) --------
+    def get_state_dict(self) -> Dict:
+        """{'actors': {name: (B,13)}, 'articulations': {uid: (B,13+2nq)}} —
+        exact reference layout (actor.py:132, articulation.py:273-279)."""
+        s = self._state.sim
+        actors = {}
+        for name, i in self.model.free_index.items():
+            actors[name] = jnp.concatenate(
+                [s.free_pose[:, i], s.free_vel[:, i]], axis=-1
+            )
+        for name, i in self.model.kin_index.items():
+            actors[name] = jnp.concatenate(
+                [s.kin_pose[:, i], jnp.zeros((self.num_envs, 6))], axis=-1
+            )
+        arts = {}
+        if self.model.nq > 0:
+            root = jnp.broadcast_to(
+                jnp.asarray(self.model.robot_base_pose),
+                (self.num_envs, 7),
+            )
+            arts[self.robot_uids] = jnp.concatenate(
+                [root, jnp.zeros((self.num_envs, 6)), s.qpos, s.qvel], axis=-1
+            )
+        out = dict(actors=actors, articulations=arts)
+        out["controller"] = dict(target_qpos=self._state.cmd.target_qpos)
+        return out
+
+    def set_state_dict(self, sd: Dict):
+        s = self._state.sim
+        free_pose, free_vel = s.free_pose, s.free_vel
+        kin_pose = s.kin_pose
+        for name, val in sd.get("actors", {}).items():
+            val = jnp.asarray(val)
+            if name in self.model.free_index:
+                i = self.model.free_index[name]
+                free_pose = free_pose.at[:, i].set(val[:, :7])
+                free_vel = free_vel.at[:, i].set(val[:, 7:13])
+            elif name in self.model.kin_index:
+                i = self.model.kin_index[name]
+                kin_pose = kin_pose.at[:, i].set(val[:, :7])
+        qpos, qvel = s.qpos, s.qvel
+        for name, val in sd.get("articulations", {}).items():
+            val = jnp.asarray(val)
+            nq = self.model.nq
+            qpos = val[:, 13 : 13 + nq]
+            qvel = val[:, 13 + nq : 13 + 2 * nq]
+        sim = s.replace(
+            free_pose=free_pose, free_vel=free_vel, kin_pose=kin_pose,
+            qpos=qpos, qvel=qvel,
+        )
+        cmd = self._state.cmd
+        if "controller" in sd:
+            cmd = cmd.replace(target_qpos=jnp.asarray(sd["controller"]["target_qpos"]))
+        self._state = self._state.replace(sim=sim, cmd=cmd)
+
+    def get_state(self) -> jnp.ndarray:
+        return flatten_state_dict(self.get_state_dict())
+
+    # convenience ----------------------------------------------------------
+    def sample_action(self, rng: np.random.RandomState):
+        lo, hi = self.single_action_space
+        return rng.uniform(lo, hi, size=(self.num_envs, self.action_dim)).astype(
+            np.float32
+        )
+
+
+def flatten_state_dict(d: Dict) -> jnp.ndarray:
+    """Deterministic insertion-ordered flatten of a nested dict of arrays
+    into one vector (batch dims preserved) — mirrors reference
+    ``utils/common.py:flatten_state_dict:195``."""
+    leaves = []
+
+    def rec(x):
+        if isinstance(x, dict):
+            for k in x:
+                rec(x[k])
+        else:
+            a = jnp.asarray(x)
+            if a.dtype == bool:
+                a = a.astype(jnp.float32)
+            if a.ndim == 0:
+                a = a[None]
+            leaves.append(a)
+
+    rec(d)
+    return jnp.concatenate(leaves, axis=-1)

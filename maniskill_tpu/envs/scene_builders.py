@@ -1,0 +1,62 @@
+"""Prebuilt scene builders (table scene).
+
+TPU-native analogue of the reference's ``TableSceneBuilder``
+(``mani_skill/utils/scene_builder/table/scene_builder.py``): the table is a
+static box whose top surface is z=0, ground plane at the table foot, robot at
+the standard tabletop mount with the standard init qpos (+ per-episode noise
+applied by the env's ``robot_init_qpos_noise``).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..physics.model import SceneSpecBuilder, box_geom, plane_geom
+
+TABLE_HEIGHT = 0.9196429  # reference scene_builder.py:61
+
+
+class TableSceneBuilder:
+    """Static table + ground; robot mount poses per supported robot
+    (reference scene_builder.py:19-120)."""
+
+    # world-frame table box after the reference's rot-z-90 placement:
+    # half extents swap x/y of (2.418/2, 1.209/2, H/2)
+    TABLE_HALF = np.array([1.209 / 2, 2.418 / 2, TABLE_HEIGHT / 2], np.float32)
+    TABLE_CENTER = np.array([-0.12, 0.0, -TABLE_HEIGHT / 2], np.float32)
+
+    ROBOT_INIT = {
+        "panda": dict(
+            pose=np.array([-0.615, 0, 0, 1, 0, 0, 0], np.float32),
+            qpos=np.array(
+                [0.0, -np.pi / 8, 0, -np.pi * 5 / 8, 0, np.pi * 3 / 4,
+                 np.pi / 4, 0.04, 0.04], np.float32,
+            ),
+        ),
+        "panda_wristcam": dict(
+            pose=np.array([-0.615, 0, 0, 1, 0, 0, 0], np.float32),
+            qpos=np.array(
+                [0.0, np.pi / 8, 0, -np.pi * 5 / 8, 0, np.pi * 3 / 4,
+                 -np.pi / 4, 0.04, 0.04], np.float32,
+            ),
+        ),
+    }
+
+    def __init__(self, env):
+        self.env = env
+
+    def build(self, builder: SceneSpecBuilder):
+        builder.add_static_body(
+            "table-workspace",
+            np.concatenate([self.TABLE_CENTER, [1, 0, 0, 0]]).astype(np.float32),
+            [box_geom(self.TABLE_HALF)],
+        )
+        builder.add_static_body(
+            "ground",
+            np.array([0, 0, -TABLE_HEIGHT, 1, 0, 0, 0], np.float32),
+            [plane_geom()],
+        )
+
+    def robot_pose_and_qpos(self, robot_uid: str):
+        cfg = self.ROBOT_INIT.get(robot_uid, self.ROBOT_INIT["panda"])
+        return cfg["pose"], cfg["qpos"]

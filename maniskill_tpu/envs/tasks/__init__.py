@@ -1,0 +1,1 @@
+from . import push_cube, pick_cube  # noqa: F401

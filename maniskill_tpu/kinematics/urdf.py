@@ -87,6 +87,8 @@ class UrdfLink:
     com: np.ndarray = field(default_factory=lambda: np.zeros(3))
     # 3x3 rotational inertia about the link origin, in the link frame
     inertia: np.ndarray = field(default_factory=lambda: np.zeros((3, 3)))
+    # primitive collision geoms: list of (type_str, size(3,), p(3,), q(4,))
+    collisions: list = field(default_factory=list)
 
 
 @dataclass
@@ -149,6 +151,11 @@ class RobotSpec:
     joint_names: List[str]
     link_names: List[str]
     base_link: str = "base"
+    # per-body primitive collisions (fused into body frames):
+    # body_collisions[i] = list of (link_name, type_str, size, p, q);
+    # base_collisions for geometry attached to the fixed base
+    body_collisions: List[list] = field(default_factory=list)
+    base_collisions: list = field(default_factory=list)
 
     def frame_of(self, name: str) -> Tuple[int, np.ndarray, np.ndarray]:
         """Return (body_idx, offset_p, offset_q) for a movable link or a fused
@@ -193,6 +200,32 @@ def parse_urdf(path: str, root_link: Optional[str] = None) -> RobotSpec:
             c = p
             ln.com = c
             ln.inertia = I_rot + ln.mass * (np.dot(c, c) * np.eye(3) - np.outer(c, c))
+        # primitive collision shapes (meshes are skipped; the agent layer may
+        # supply primitive approximations for mesh-only links)
+        for col_el in link_el.findall("collision"):
+            cp, cq = _parse_origin(col_el.find("origin"))
+            geo = col_el.find("geometry")
+            if geo is None:
+                continue
+            box = geo.find("box")
+            sph = geo.find("sphere")
+            cyl = geo.find("cylinder")
+            cap = geo.find("capsule")
+            if box is not None:
+                size = np.fromstring(box.get("size"), sep=" ") / 2.0
+                ln.collisions.append(("box", size, cp, cq))
+            elif sph is not None:
+                r = float(sph.get("radius"))
+                ln.collisions.append(("sphere", np.array([r, 0, 0]), cp, cq))
+            elif cap is not None:
+                r = float(cap.get("radius"))
+                hl = float(cap.get("length")) / 2.0
+                ln.collisions.append(("capsule", np.array([r, hl, 0]), cp, cq))
+            elif cyl is not None:
+                # approximate cylinders as capsules of the same radius
+                r = float(cyl.get("radius"))
+                hl = max(float(cyl.get("length")) / 2.0 - r, 1e-4)
+                ln.collisions.append(("capsule", np.array([r, hl, 0]), cp, cq))
         links[ln.name] = ln
 
     joints: List[UrdfJoint] = []
@@ -266,6 +299,8 @@ def parse_urdf(path: str, root_link: Optional[str] = None) -> RobotSpec:
     inertia: List[np.ndarray] = []
     frames: Dict[str, Tuple[int, np.ndarray, np.ndarray]] = {}
     link_index: Dict[str, int] = {}
+    body_collisions: List[list] = []
+    base_collisions: list = []
 
     def fuse_into(body_i: int, link_name: str, off_p: np.ndarray, off_q: np.ndarray):
         """Accumulate link inertia into body ``body_i`` (or base if -1) and
@@ -283,6 +318,13 @@ def parse_urdf(path: str, root_link: Optional[str] = None) -> RobotSpec:
             inertia[body_i] = inertia[body_i] + I_new
         if not (np.allclose(off_p, 0) and abs(off_q[0]) > 1 - 1e-9) or body_i < 0:
             frames[link_name] = (body_i, off_p.copy(), off_q.copy())
+        for (ctype, csize, cp, cq) in ln.collisions:
+            gp, gq = _pose_mul(off_p, off_q, cp, cq)
+            entry = (link_name, ctype, csize, gp, gq)
+            if body_i < 0:
+                base_collisions.append(entry)
+            else:
+                body_collisions[body_i].append(entry)
         movable = []
         for j in kids[link_name]:
             jp, jq = _pose_mul(off_p, off_q, j.origin_p, j.origin_q)
@@ -313,6 +355,7 @@ def parse_urdf(path: str, root_link: Optional[str] = None) -> RobotSpec:
         mass.append(0.0)
         com.append(np.zeros(3))
         inertia.append(np.zeros((3, 3)))
+        body_collisions.append([])
         pending = fuse_into(i, j.child, np.zeros(3), np.array([1.0, 0, 0, 0])) + pending
 
     # re-sort so parents precede children (BFS above guarantees it except for
@@ -342,4 +385,6 @@ def parse_urdf(path: str, root_link: Optional[str] = None) -> RobotSpec:
         joint_names=joint_names,
         link_names=body_names,
         base_link=root_link,
+        body_collisions=body_collisions,
+        base_collisions=base_collisions,
     )

@@ -253,6 +253,115 @@ def _point_assignment(model: SceneModel, meta, kind: BodyKind, n_bodies: int):
 # ---------------------------------------------------------------------------
 
 
+def _assignment_tables(model: SceneModel):
+    """Static one-hot point→body assignment matrices for both pair sides."""
+    _, _, _, _, _, _, _, meta_a0, meta_b0 = _trace_metadata(model)
+    nq = model.nq
+    n_free = model.n_free
+    return (
+        _point_assignment(model, meta_a0, BodyKind.ROBOT_LINK, max(nq, 1)),
+        _point_assignment(model, meta_b0, BodyKind.ROBOT_LINK, max(nq, 1)),
+        _point_assignment(model, meta_a0, BodyKind.FREE, max(n_free, 1)),
+        _point_assignment(model, meta_b0, BodyKind.FREE, max(n_free, 1)),
+    )
+
+
+def point_forces(
+    model: SceneModel,
+    state: SimState,
+    body_pos,
+    body_quat,
+    v_body,
+    tables,
+):
+    """Contact forces at every candidate point (force on side A, world frame).
+
+    Returns (f_pt (P,3), contact arrays tuple). This is the TPU-native
+    equivalent of PhysX's contact solver output that the reference exposes via
+    ``gpu_create_contact_pair_impulse_query`` (scene.py:766-776).
+    """
+    params = model.params
+    A_robot_a, A_robot_b, A_free_a, A_free_b = tables
+    nq, n_free = model.nq, model.n_free
+    ref = jnp.asarray(model.robot_base_pose[:3]) if model.robot else jnp.zeros(3)
+    (cpos, cnrm, cdep, cmu, cdamp, ccap, ck, _, _) = compute_contacts(
+        model, state, body_pos, body_quat
+    )
+    P = cpos.shape[0]
+    if P == 0:
+        return jnp.zeros((0, 3)), (cpos, cnrm, cdep)
+
+    rel_a = cpos - ref
+
+    def side_point_vel(A_robot, A_free):
+        if nq > 0:
+            vb = A_robot.T @ v_body  # (P, 6)
+            v_rob = vb[..., 3:] + jnp.cross(vb[..., :3], rel_a)
+        else:
+            v_rob = jnp.zeros((P, 3))
+        if n_free > 0:
+            fv = A_free.T @ state.free_vel  # (P, 6) [lin, ang]
+            fp = A_free.T @ state.free_pose[:, :3]
+            v_fr = fv[:, :3] + jnp.cross(fv[:, 3:], cpos - fp)
+        else:
+            v_fr = jnp.zeros((P, 3))
+        return v_rob + v_fr
+
+    va = side_point_vel(jnp.asarray(A_robot_a), jnp.asarray(A_free_a))
+    vb_ = side_point_vel(jnp.asarray(A_robot_b), jnp.asarray(A_free_b))
+    v_rel = va - vb_
+    v_n = jnp.sum(v_rel * cnrm, axis=-1)
+    v_t = v_rel - v_n[:, None] * cnrm
+
+    active = (cdep > -params.contact_margin).astype(cdep.dtype)
+    f_n = jnp.maximum(ck * cdep - cdamp * v_n, 0.0) * active
+    vt_norm = jnp.sqrt(jnp.sum(v_t * v_t, axis=-1) + params.friction_vreg**2)
+    k_t = jnp.minimum(cmu * f_n / vt_norm, ccap)
+    f_t = -k_t[:, None] * v_t
+    f_pt = f_n[:, None] * cnrm + f_t
+    return f_pt, (cpos, cnrm, cdep)
+
+
+def make_force_query(model: SceneModel):
+    """Standalone contact-force query ``query(state) -> f_pt (P,3)`` for
+    reward/evaluate-time pairwise force checks (e.g. ``is_grasping``,
+    reference panda.py:236-264). Single env; vmap for batches."""
+    tables = _assignment_tables(model)
+
+    def query(state: SimState, fk=None):
+        """fk: optional precomputed (body_pos, body_quat, axis_w)."""
+        if model.nq > 0:
+            body_pos, body_quat, axis_w = (
+                fk if fk is not None else robot_fk(model, state.qpos)
+            )
+            ref = jnp.asarray(model.robot_base_pose[:3])
+            cols = joint_columns(model, body_pos, axis_w, ref)
+            J = joint_columns_to_jacobian(model, cols)
+            v_body = J @ state.qvel
+        else:
+            body_pos = jnp.zeros((0, 3))
+            body_quat = jnp.zeros((0, 4))
+            v_body = jnp.zeros((0, 6))
+        return point_forces(model, state, body_pos, body_quat, v_body, tables)
+
+    return query
+
+
+def pair_force_signs(model: SceneModel, sel_a, sel_b) -> np.ndarray:
+    """Static (P,) sign vector: +1 where a contact point's pair is
+    (sel_a, sel_b), -1 where (sel_b, sel_a), else 0.  ``signs @ f_pt`` then
+    gives the net contact force ON sel_a FROM sel_b (world frame) — the
+    reference's ``get_pairwise_contact_forces`` contract (scene.py:736)."""
+    _, _, _, _, _, _, _, meta_a, meta_b = _trace_metadata(model)
+    signs = np.zeros(len(meta_a), dtype=np.float32)
+    for p, (ma, mb) in enumerate(zip(meta_a, meta_b)):
+        if ma == tuple(sel_a) and mb == tuple(sel_b):
+            signs[p] = 1.0
+        elif ma == tuple(sel_b) and mb == tuple(sel_a):
+            signs[p] = -1.0
+    return signs
+
+
 def make_step_fn(model: SceneModel):
     """Build the jittable single-env physics step:
     ``step(state, cmd) -> state`` advancing one sim step (params.dt) with
@@ -268,11 +377,8 @@ def make_step_fn(model: SceneModel):
     g_vec = jnp.asarray(params.gravity)
 
     # static assignment matrices (depend only on the pair table)
-    _, _, _, _, _, _, _, meta_a0, meta_b0 = _trace_metadata(model)
-    A_robot_a = _point_assignment(model, meta_a0, BodyKind.ROBOT_LINK, max(nq, 1))
-    A_robot_b = _point_assignment(model, meta_b0, BodyKind.ROBOT_LINK, max(nq, 1))
-    A_free_a = _point_assignment(model, meta_a0, BodyKind.FREE, max(n_free, 1))
-    A_free_b = _point_assignment(model, meta_b0, BodyKind.FREE, max(n_free, 1))
+    tables = _assignment_tables(model)
+    A_robot_a, A_robot_b, A_free_a, A_free_b = tables
 
     robot_mass = jnp.asarray(spec.mass, dtype=jnp.float32) if spec else None
     robot_com = jnp.asarray(spec.com, dtype=jnp.float32) if spec else None
@@ -309,44 +415,12 @@ def make_step_fn(model: SceneModel):
         v_body = J @ state.qvel  # (nb, 6) spatial velocities at ref
 
         # ---------------- contacts ----------------
-        (cpos, cnrm, cdep, cmu, cdamp, ccap, ck, _, _) = compute_contacts(
-            model, state, body_pos, body_quat
+        f_pt, (cpos, cnrm, cdep) = point_forces(
+            model, state, body_pos, body_quat, v_body, tables
         )
-        P = cpos.shape[0]
+        P = f_pt.shape[0]
         if P > 0:
-            # velocity of the contact point on each side
             rel_a = cpos - ref
-            # robot-side point velocities: pick body wrench via assignment
-            def side_point_vel(A_robot, A_free):
-                # robot contribution
-                vb = A_robot.T @ v_body if nq > 0 else 0.0  # (P, 6)
-                v_rob = (
-                    vb[..., 3:] + jnp.cross(vb[..., :3], rel_a)
-                    if nq > 0
-                    else jnp.zeros((P, 3))
-                )
-                if n_free > 0:
-                    fv = A_free.T @ state.free_vel  # (P, 6) [lin, ang]
-                    fp = A_free.T @ state.free_pose[:, :3]
-                    v_fr = fv[:, :3] + jnp.cross(fv[:, 3:], cpos - fp)
-                else:
-                    v_fr = jnp.zeros((P, 3))
-                return v_rob + v_fr
-
-            va = side_point_vel(jnp.asarray(A_robot_a), jnp.asarray(A_free_a))
-            vb_ = side_point_vel(jnp.asarray(A_robot_b), jnp.asarray(A_free_b))
-            v_rel = va - vb_  # velocity of A relative to B
-            v_n = jnp.sum(v_rel * cnrm, axis=-1)
-            v_t = v_rel - v_n[:, None] * cnrm
-
-            active = (cdep > -params.contact_margin).astype(cdep.dtype)
-            f_n = jnp.maximum(ck * cdep - cdamp * v_n, 0.0) * active
-            vt_norm = jnp.sqrt(jnp.sum(v_t * v_t, axis=-1) + params.friction_vreg**2)
-            # friction slope clamped to the per-point stability cap
-            k_t = jnp.minimum(cmu * f_n / vt_norm, ccap)
-            f_t = -k_t[:, None] * v_t
-            f_pt = f_n[:, None] * cnrm + f_t  # force on A (P, 3)
-
             # wrenches at Plücker ref (for robot) and about free-body CoMs
             w_pt = point_force_to_wrench(rel_a, f_pt)  # (P, 6) [τ; f]
             if nq > 0:
