@@ -264,6 +264,29 @@ class BaseEnv:
             terminated = terminated | info["fail"]
         return state, obs, reward, terminated, info
 
+    def _rollout_step(self, state: EnvState, action) -> Tuple[EnvState, jnp.ndarray, jnp.ndarray]:
+        """Planning-grade step: advances physics + returns (state', reward,
+        success) without building observations. This is what MPPI/CEM/iLQR
+        vmap over thousands of rollouts (BASELINE.json north star)."""
+        ctx0 = TaskContext(self, state)
+        aux = (
+            jnp.asarray(self.model.robot_base_pose),
+            ctx0.body_pos,
+            ctx0.body_quat,
+            ctx0.axis_w,
+        )
+        cmd = self.agent.controller.set_action(
+            state.cmd, state.sim.qpos, action, aux=aux
+        )
+        sim = self._physics_step(state.sim, cmd, self.sim_steps_per_control)
+        state = state.replace(
+            sim=sim, cmd=cmd, elapsed_steps=state.elapsed_steps + 1
+        )
+        ctx = TaskContext(self, state)
+        info = self.evaluate(state, ctx)
+        reward = self._get_reward(state, action, info, ctx)
+        return state, reward, info.get("success", jnp.zeros((), bool))
+
     def _get_reward(self, state, action, info, ctx):
         if self.reward_mode == "dense":
             return self.compute_dense_reward(state, action, info, ctx)

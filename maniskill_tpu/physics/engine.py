@@ -184,8 +184,7 @@ def compute_contacts(model: SceneModel, state: SimState, body_pos, body_quat):
     """
     params = model.params
     k = params.contact_stiffness
-    h = params.dt / params.substeps
-    pos_l, nrm_l, dep_l, mu_l, c_l, cap_l, k_l = [], [], [], [], [], [], []
+    pos_l, nrm_l, dep_l, mu_l, c_l, k_l = [], [], [], [], [], []
     meta_a, meta_b = [], []  # (kind, body) per point
     for (ia, ib, fn, npts, swapped, mu) in model.pair_table:
         ga, gb = model.geoms[ia], model.geoms[ib]
@@ -197,39 +196,31 @@ def compute_contacts(model: SceneModel, state: SimState, body_pos, body_quat):
         m_eff = min(_dyn_mass_of(model, ga), _dyn_mass_of(model, gb))
         if not np.isfinite(m_eff):
             m_eff = 1.0
-        # Per-point velocity-coupling cap: a force with slope beyond
-        # m_pt/h would reverse the relative velocity within one substep and
-        # inject energy (explicit-integration instability). Both the normal
-        # damping and the regularized-friction slope are clamped to it.
+        # contact_stiffness is the *total* pair stiffness budget, split across
+        # the candidate points (pressure-like normalization). Stability at
+        # any stiffness comes from the implicit treatment in the solver, not
+        # from caps.
         m_pt = m_eff / npts
-        slope_cap = 0.8 * m_pt / h
-        # contact_stiffness is the *total* pair stiffness budget: divide by the
-        # candidate count so many simultaneous points don't multiply effective
-        # stiffness past the explicit stability bound (ω·h < 2).
         k_pt = k / npts
-        damping = min(
-            2.0 * params.contact_damping_ratio * np.sqrt(k_pt * m_pt), slope_cap
-        )
+        damping = 2.0 * params.contact_damping_ratio * np.sqrt(k_pt * m_pt)
         pos_l.append(c.pos)
         nrm_l.append(c.normal)
         dep_l.append(c.depth)
         mu_l.append(jnp.full(npts, mu))
         c_l.append(jnp.full(npts, damping))
-        cap_l.append(jnp.full(npts, slope_cap))
         k_l.append(jnp.full(npts, k_pt))
         meta_a += [(ga.kind, ga.body)] * npts
         meta_b += [(gb.kind, gb.body)] * npts
     if not pos_l:
         z3 = jnp.zeros((0, 3))
         z = jnp.zeros(0)
-        return z3, z3, z, z, z, z, z, [], []
+        return z3, z3, z, z, z, z, [], []
     return (
         jnp.concatenate(pos_l),
         jnp.concatenate(nrm_l),
         jnp.concatenate(dep_l),
         jnp.concatenate(mu_l),
         jnp.concatenate(c_l),
-        jnp.concatenate(cap_l),
         jnp.concatenate(k_l),
         meta_a,
         meta_b,
@@ -255,7 +246,7 @@ def _point_assignment(model: SceneModel, meta, kind: BodyKind, n_bodies: int):
 
 def _assignment_tables(model: SceneModel):
     """Static one-hot point→body assignment matrices for both pair sides."""
-    _, _, _, _, _, _, _, meta_a0, meta_b0 = _trace_metadata(model)
+    _, _, _, _, _, _, meta_a0, meta_b0 = _trace_metadata(model)
     nq = model.nq
     n_free = model.n_free
     return (
@@ -281,15 +272,17 @@ def point_forces(
     ``gpu_create_contact_pair_impulse_query`` (scene.py:766-776).
     """
     params = model.params
+    h = params.dt / params.substeps
     A_robot_a, A_robot_b, A_free_a, A_free_b = tables
     nq, n_free = model.nq, model.n_free
     ref = jnp.asarray(model.robot_base_pose[:3]) if model.robot else jnp.zeros(3)
-    (cpos, cnrm, cdep, cmu, cdamp, ccap, ck, _, _) = compute_contacts(
+    (cpos, cnrm, cdep, cmu, cdamp, ck, _, _) = compute_contacts(
         model, state, body_pos, body_quat
     )
     P = cpos.shape[0]
     if P == 0:
-        return jnp.zeros((0, 3)), (cpos, cnrm, cdep)
+        z = jnp.zeros(0)
+        return jnp.zeros((0, 3)), (cpos, cnrm, cdep, z, z)
 
     rel_a = cpos - ref
 
@@ -316,10 +309,15 @@ def point_forces(
     active = (cdep > -params.contact_margin).astype(cdep.dtype)
     f_n = jnp.maximum(ck * cdep - cdamp * v_n, 0.0) * active
     vt_norm = jnp.sqrt(jnp.sum(v_t * v_t, axis=-1) + params.friction_vreg**2)
-    k_t = jnp.minimum(cmu * f_n / vt_norm, ccap)
+    k_t = cmu * f_n / vt_norm  # regularized Coulomb slope (implicit-stable)
     f_t = -k_t[:, None] * v_t
     f_pt = f_n[:, None] * cnrm + f_t
-    return f_pt, (cpos, cnrm, cdep)
+    # implicit velocity-coupling coefficients per point (folded into solver
+    # LHS): normal gets damping + dt*stiffness (implicit spring-damper),
+    # tangential gets the friction slope.
+    d_n = (cdamp + h * ck) * (f_n > 0)
+    d_t = k_t * (f_n > 0)
+    return f_pt, (cpos, cnrm, cdep, d_n, d_t)
 
 
 def make_force_query(model: SceneModel):
@@ -352,7 +350,7 @@ def pair_force_signs(model: SceneModel, sel_a, sel_b) -> np.ndarray:
     (sel_a, sel_b), -1 where (sel_b, sel_a), else 0.  ``signs @ f_pt`` then
     gives the net contact force ON sel_a FROM sel_b (world frame) — the
     reference's ``get_pairwise_contact_forces`` contract (scene.py:736)."""
-    _, _, _, _, _, _, _, meta_a, meta_b = _trace_metadata(model)
+    _, _, _, _, _, _, meta_a, meta_b = _trace_metadata(model)
     signs = np.zeros(len(meta_a), dtype=np.float32)
     for p, (ma, mb) in enumerate(zip(meta_a, meta_b)):
         if ma == tuple(sel_a) and mb == tuple(sel_b):
@@ -415,12 +413,20 @@ def make_step_fn(model: SceneModel):
         v_body = J @ state.qvel  # (nb, 6) spatial velocities at ref
 
         # ---------------- contacts ----------------
-        f_pt, (cpos, cnrm, cdep) = point_forces(
+        f_pt, (cpos, cnrm, cdep, d_n, d_t) = point_forces(
             model, state, body_pos, body_quat, v_body, tables
         )
         P = f_pt.shape[0]
+        # contact_lhs_robot: (nq, nq) implicit contact stiffness/damping term;
+        # contact_lhs_free: (n_free, 6, 6) same per free body
         if P > 0:
             rel_a = cpos - ref
+            # per-point 3x3 velocity-coupling matrix D_p =
+            #   d_n n nᵀ + d_t (E - n nᵀ)   (PSD)
+            nnT = cnrm[:, :, None] * cnrm[:, None, :]
+            eye3 = jnp.eye(3)
+            D_p = d_n[:, None, None] * nnT + d_t[:, None, None] * (eye3 - nnT)
+
             # wrenches at Plücker ref (for robot) and about free-body CoMs
             w_pt = point_force_to_wrench(rel_a, f_pt)  # (P, 6) [τ; f]
             if nq > 0:
@@ -428,23 +434,48 @@ def make_step_fn(model: SceneModel):
                     jnp.asarray(A_robot_a) @ w_pt - jnp.asarray(A_robot_b) @ w_pt
                 )  # (nb, 6)
                 tau_contact = jnp.einsum("bik,bi->k", J, w_robot)
+                # per-point translational jacobian (robot side, either role):
+                # J_pt = J_lin(body) + ang_cols × rel  (3, nq) per point
+                A_r = jnp.asarray(A_robot_a + A_robot_b)  # (nb, P)
+                J_pt6 = jnp.einsum("bp,bik->pik", A_r, J)  # (P, 6, nq)
+                J_pt = J_pt6[:, 3:, :] + jnp.cross(
+                    J_pt6[:, :3, :], rel_a[:, :, None], axis=1
+                )
+                contact_lhs_robot = h * jnp.einsum(
+                    "pin,pij,pjm->nm", J_pt, D_p, J_pt
+                )
             else:
                 tau_contact = jnp.zeros(nq)
+                contact_lhs_robot = jnp.zeros((nq, nq))
             if n_free > 0:
                 A_net = jnp.asarray(A_free_a) - jnp.asarray(A_free_b)
+                A_f = jnp.asarray(A_free_a + A_free_b)  # (n_free, P)
                 f_free = A_net @ f_pt  # (n_free, 3)
                 # torque on free body j: Σ_p A_net[j,p] (p - com_j) × f_p
                 arm = cpos[None] - state.free_pose[:, None, :3]  # (n_free,P,3)
                 t_free = jnp.einsum(
                     "jp,jpk->jk", A_net, jnp.cross(arm, f_pt[None])
                 )
+                # per-(body, point) B matrix: v_pt = [-skew(r), E] [ω; v]
+                from ..math.rotations import skew
+
+                Bm = jnp.concatenate(
+                    [-skew(arm), jnp.broadcast_to(eye3, arm.shape[:2] + (3, 3))],
+                    axis=-1,
+                )  # (n_free, P, 3, 6)
+                contact_lhs_free = h * jnp.einsum(
+                    "jp,jpxn,pxy,jpym->jnm", A_f, Bm, D_p, Bm
+                )
             else:
                 f_free = jnp.zeros((0, 3))
                 t_free = jnp.zeros((0, 3))
+                contact_lhs_free = jnp.zeros((0, 6, 6))
         else:
             tau_contact = jnp.zeros(nq)
             f_free = jnp.zeros((n_free, 3))
             t_free = jnp.zeros((n_free, 3))
+            contact_lhs_robot = jnp.zeros((nq, nq))
+            contact_lhs_free = jnp.zeros((n_free, 6, 6))
 
         # ---------------- robot dynamics ----------------
         if nq > 0:
@@ -465,8 +496,13 @@ def make_step_fn(model: SceneModel):
             )  # (nb, 6)
             f_vel = I_sp @ a_bias[..., None]
             f_vel = f_vel[..., 0] + force_cross(v_body, (I_sp @ v_body[..., None])[..., 0])
-            # gravity wrench per body
-            f_grav = point_force_to_wrench(com_w, robot_mass[:, None] * g_vec)
+            # gravity wrench per body (reference parity: robot links have
+            # gravity disabled by default — balance_passive_force,
+            # base_agent.py:272-276)
+            grav_scale = 1.0 if model.robot_gravity else 0.0
+            f_grav = point_force_to_wrench(
+                com_w, grav_scale * robot_mass[:, None] * g_vec
+            )
             tau_bias = jnp.einsum("bik,bi->k", J, f_vel - f_grav)
 
             # implicit PD drive (see module docstring)
@@ -488,8 +524,10 @@ def make_step_fn(model: SceneModel):
 
             rhs = tau_drive + cmd.qf + tau_contact + tau_lim - tau_bias
             # implicit terms: dt*(kp*dt + kd) from the drive + joint damping
+            # + the contact stiffness/damping coupling (all fold into the LHS
+            # so stiff contacts and gains stay stable at any dt)
             diag = h * (kp * h + kd) + h * joint_damping
-            lhs = M + jnp.diag(diag) + 1e-6 * jnp.eye(nq)
+            lhs = M + jnp.diag(diag) + contact_lhs_robot + 1e-6 * jnp.eye(nq)
             qacc = jax.scipy.linalg.cho_solve(
                 jax.scipy.linalg.cho_factor(lhs), rhs
             )
@@ -498,16 +536,25 @@ def make_step_fn(model: SceneModel):
         else:
             qpos_new, qvel_new = state.qpos, state.qvel
 
-        # ---------------- free-body dynamics ----------------
+        # ---------------- free-body dynamics (implicit 6x6 per body) -------
         if n_free > 0:
             Rf = quat_to_matrix(state.free_pose[:, 3:7])
             I_w = Rf @ free_inertia @ Rf.swapaxes(-1, -2)
             lin_v, ang_v = state.free_vel[:, :3], state.free_vel[:, 3:]
-            a_lin = f_free / free_mass[:, None] + g_vec
+            u = jnp.concatenate([ang_v, lin_v], axis=-1)  # (n_free, 6) [ω; v]
             gyro = jnp.cross(ang_v, jnp.einsum("nij,nj->ni", I_w, ang_v))
-            a_ang = jnp.linalg.solve(I_w, (t_free - gyro)[..., None])[..., 0]
-            lin_new = lin_v + h * a_lin
-            ang_new = ang_v + h * a_ang
+            W = jnp.concatenate(
+                [t_free - gyro, f_free + free_mass[:, None] * g_vec], axis=-1
+            )  # (n_free, 6) generalized force about CoM
+            M6 = jnp.zeros((n_free, 6, 6))
+            M6 = M6.at[:, :3, :3].set(I_w)
+            M6 = M6.at[:, 3:, 3:].set(
+                free_mass[:, None, None] * jnp.eye(3)[None]
+            )
+            lhs6 = M6 + contact_lhs_free + 1e-9 * jnp.eye(6)[None]
+            du = jnp.linalg.solve(lhs6, (h * W)[..., None])[..., 0]
+            u_new = u + du
+            ang_new, lin_new = u_new[:, :3], u_new[:, 3:]
             p_new = state.free_pose[:, :3] + h * lin_new
             q_new = quat_normalize(
                 quat_mul(quat_exp(h * ang_new), state.free_pose[:, 3:7])
@@ -546,7 +593,7 @@ def _trace_metadata(model: SceneModel):
     metadata (assignment tables) without tracing."""
     state = model.initial_state()
     if model.robot is not None:
-        body_pos, body_quat, _ = robot_fk(model, np.asarray(state.qpos))
+        body_pos, body_quat, _ = robot_fk(model, jnp.asarray(model.init_qpos))
     else:
         body_pos = jnp.zeros((0, 3))
         body_quat = jnp.zeros((0, 4))

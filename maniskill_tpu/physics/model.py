@@ -63,7 +63,7 @@ class SimParams:
     gravity: Tuple[float, float, float] = (0.0, 0.0, -9.81)
     contact_stiffness: float = 2.0e4  # N/m penalty spring
     contact_damping_ratio: float = 1.0  # fraction of critical damping
-    friction_vreg: float = 0.005  # m/s tangential regularization velocity
+    friction_vreg: float = 0.002  # m/s tangential regularization velocity
     joint_limit_stiffness: float = 4.0e3
     joint_limit_damping: float = 1.0e2
     contact_margin: float = 0.0  # activation margin (m)
@@ -113,6 +113,7 @@ class SceneModel:
         drive_kd: np.ndarray,
         drive_force_limit: np.ndarray,
         init_qpos: np.ndarray,
+        robot_gravity: bool = False,
     ):
         self.robot = robot
         self.robot_base_pose = robot_base_pose.astype(np.float32)
@@ -129,6 +130,10 @@ class SceneModel:
         self.drive_kd = drive_kd.astype(np.float32)
         self.drive_force_limit = drive_force_limit.astype(np.float32)
         self.init_qpos = init_qpos.astype(np.float32)
+        # reference parity: ManiSkill disables gravity on robot links
+        # (balance_passive_force, base_agent.py:272-276); robot_gravity=True
+        # restores physical gravity on the arm.
+        self.robot_gravity = robot_gravity
 
         self.nq = robot.nb if robot is not None else 0
         self.n_free = len(free_names)
@@ -203,6 +208,7 @@ class SceneSpecBuilder:
     def __init__(self, params: SimParams = SimParams()):
         self.params = params
         self.robot: Optional[RobotSpec] = None
+        self.robot_gravity = False
         self.robot_base_pose = np.array([0, 0, 0, 1, 0, 0, 0], dtype=np.float32)
         self.free_names: List[str] = []
         self.free_mass: List[float] = []
@@ -226,11 +232,13 @@ class SceneSpecBuilder:
         base_pose: np.ndarray,
         collision_geoms: List[dict],
         init_qpos: Optional[np.ndarray] = None,
+        balance_passive_force: bool = True,
     ):
         """collision_geoms: list of dicts with keys
         {link, type, size, offset_p, offset_q, friction}."""
         assert self.robot is None, "one robot per scene (use MultiAgent later)"
         self.robot = spec
+        self.robot_gravity = not balance_passive_force
         self.robot_base_pose = np.asarray(base_pose, dtype=np.float32)
         for g in collision_geoms:
             link = g["link"]
@@ -400,6 +408,7 @@ class SceneSpecBuilder:
             if self.drive_force_limit is not None
             else np.zeros(0),
             init_qpos=self.init_qpos if self.init_qpos is not None else np.zeros(0),
+            robot_gravity=self.robot_gravity,
         )
 
 

@@ -1,0 +1,2 @@
+from .mppi import MPPI, MPPIConfig, MPPIState
+from .cem import CEM, CEMConfig, CEMState

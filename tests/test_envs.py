@@ -1,0 +1,142 @@
+"""Env API tests — mirrors the reference test matrix
+(``tests/test_envs.py``: instantiate + N random steps, obs-space agreement,
+seeded-reset determinism, state round-trips, partial reset)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import maniskill_tpu as mst
+
+ENV_IDS = ["PushCube-v1", "PickCube-v1"]
+
+
+@pytest.fixture(scope="module", params=ENV_IDS)
+def env4(request):
+    return mst.make(request.param, num_envs=4)
+
+
+def random_actions(env, seed=0, n=3):
+    rng = np.random.RandomState(seed)
+    return [
+        rng.uniform(-1, 1, (env.num_envs, env.action_dim)).astype(np.float32)
+        for _ in range(n)
+    ]
+
+
+def test_env_runs_random_steps(env4):
+    obs, info = env4.reset(seed=0)
+    assert obs.shape[0] == 4
+    for a in random_actions(env4):
+        obs, rew, term, trunc, info = env4.step(a)
+        assert obs.shape[0] == 4
+        assert rew.shape == (4,)
+        assert bool(jnp.isfinite(obs).all())
+        assert bool(jnp.isfinite(rew).all())
+
+
+def test_seeded_reset_deterministic(env4):
+    """Same seed ⇒ identical obs (reference test_env_seeded_reset :151)."""
+    obs1, _ = env4.reset(seed=2022)
+    obs2, _ = env4.reset(seed=2022)
+    assert np.array_equal(np.asarray(obs1), np.asarray(obs2))
+    obs3, _ = env4.reset(seed=2023)
+    assert not np.array_equal(np.asarray(obs1), np.asarray(obs3))
+
+
+def test_seeded_sequence_deterministic(env4):
+    """Same seed ⇒ identical trajectories under the same actions."""
+    acts = random_actions(env4, seed=1)
+    env4.reset(seed=5)
+    tr1 = [np.asarray(env4.step(a)[0]) for a in acts]
+    env4.reset(seed=5)
+    tr2 = [np.asarray(env4.step(a)[0]) for a in acts]
+    for a, b in zip(tr1, tr2):
+        assert np.array_equal(a, b)
+
+
+def test_partial_reset(env4):
+    obs0, _ = env4.reset(seed=11)
+    for a in random_actions(env4, seed=2, n=2):
+        env4.step(a)
+    stepped = np.asarray(env4._state.sim.qpos).copy()
+    env4.reset(seed=12, options={"env_idx": [1, 3]})
+    after = np.asarray(env4._state.sim.qpos)
+    # envs 0, 2 untouched; 1, 3 reinitialized
+    assert np.array_equal(after[0], stepped[0])
+    assert np.array_equal(after[2], stepped[2])
+    assert not np.array_equal(after[1], stepped[1])
+    el = np.asarray(env4._state.elapsed_steps)
+    assert el[0] == 2 and el[1] == 0
+
+
+def test_state_dict_roundtrip(env4):
+    """set_state_dict restores exact behavior (reference
+    tests/test_sim_state.py contract)."""
+    env4.reset(seed=3)
+    sd = jax.tree.map(np.asarray, env4.get_state_dict())
+    a = random_actions(env4, seed=3, n=1)[0]
+    obs_a = np.asarray(env4.step(a)[0])
+    env4.set_state_dict(sd)
+    obs_b = np.asarray(env4.step(a)[0])
+    assert np.allclose(obs_a, obs_b, atol=1e-6)
+
+
+def test_state_dict_shapes(env4):
+    env4.reset(seed=0)
+    sd = env4.get_state_dict()
+    for name, v in sd["actors"].items():
+        assert v.shape == (4, 13)
+    for name, v in sd["articulations"].items():
+        assert v.shape == (4, 13 + 2 * env4.model.nq)
+
+
+def test_obs_modes():
+    for mode in ["state", "state_dict", "none"]:
+        env = mst.make("PushCube-v1", num_envs=2, obs_mode=mode)
+        obs, _ = env.reset(seed=0)
+        if mode == "state":
+            assert obs.ndim == 2
+        elif mode == "state_dict":
+            assert "agent" in obs and "extra" in obs
+        else:
+            assert obs.shape[-1] == 0
+
+
+def test_reward_modes():
+    for mode in ["dense", "normalized_dense", "sparse", "none"]:
+        env = mst.make("PushCube-v1", num_envs=2, reward_mode=mode)
+        env.reset(seed=0)
+        obs, rew, *_ = env.step(np.zeros((2, env.action_dim), np.float32))
+        assert rew.shape == (2,)
+        if mode == "normalized_dense":
+            assert float(jnp.abs(rew).max()) <= 1.0
+
+
+def test_control_modes():
+    for cm in ["pd_joint_delta_pos", "pd_joint_pos", "pd_ee_delta_pos",
+               "pd_ee_delta_pose", "pd_joint_vel"]:
+        env = mst.make("PushCube-v1", num_envs=2, control_mode=cm)
+        env.reset(seed=0)
+        obs, rew, *_ = env.step(np.zeros((2, env.action_dim), np.float32))
+        assert bool(jnp.isfinite(obs).all()), cm
+
+
+def test_truncation():
+    env = mst.make("PushCube-v1", num_envs=2)
+    env.reset(seed=0)
+    a = np.zeros((2, env.action_dim), np.float32)
+    for i in range(50):
+        obs, rew, term, trunc, info = env.step(a)
+    assert bool(np.asarray(trunc).all())
+
+
+def test_nan_action_isolated():
+    """A NaN action corrupts nothing (sanitized), unlike reference which
+    rejects on CPU only (base_agent.py:321-323)."""
+    env = mst.make("PushCube-v1", num_envs=2)
+    env.reset(seed=0)
+    a = np.zeros((2, env.action_dim), np.float32)
+    a[0, 0] = np.nan
+    obs, *_ = env.step(a)
+    assert bool(jnp.isfinite(obs).all())
