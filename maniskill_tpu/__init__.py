@@ -9,6 +9,25 @@ with jax.sharding. See SURVEY.md for the layer-by-layer mapping.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+import jax as _jax
+
+# Persistent XLA compilation cache: this framework's step functions are large
+# sequential graphs whose (remote) TPU compiles take minutes — cache them
+# across processes. Opt out with MANISKILL_TPU_NO_CACHE=1.
+if not _os.environ.get("MANISKILL_TPU_NO_CACHE"):
+    _cache_dir = _os.environ.get(
+        "MANISKILL_TPU_CACHE_DIR",
+        _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "..", ".jax_cache"),
+    )
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # pragma: no cover - older jax
+        pass
+
 from .envs.registration import REGISTERED_ENVS, make, register_env
 
 

@@ -176,41 +176,105 @@ def _dyn_mass_of(model, g) -> float:
     return np.inf
 
 
+def _geom_pose_tables(model: SceneModel):
+    """Static per-geom tables for vectorized world-pose computation."""
+    G = len(model.geoms)
+    offs_p = np.stack([g.offset_p for g in model.geoms]) if G else np.zeros((0, 3))
+    offs_q = np.stack([g.offset_q for g in model.geoms]) if G else np.zeros((0, 4))
+    by_kind = {k: [] for k in BodyKind}
+    for i, g in enumerate(model.geoms):
+        by_kind[g.kind].append(i)
+    return offs_p.astype(np.float32), offs_q.astype(np.float32), by_kind
+
+
+def all_geom_poses(model: SceneModel, state: SimState, body_pos, body_quat):
+    """World poses of every geom as (G,3), (G,4) arrays, built with one
+    static gather + compose per body kind."""
+    offs_p, offs_q, by_kind = model._geom_pose_cache
+    G = len(model.geoms)
+    gpos = jnp.zeros((G, 3))
+    gquat = jnp.zeros((G, 4))
+
+    def place(idxs, parent_p, parent_q):
+        nonlocal gpos, gquat
+        if not idxs:
+            return
+        ii = np.asarray(idxs)
+        op = jnp.asarray(offs_p[ii])
+        oq = jnp.asarray(offs_q[ii])
+        gpos = gpos.at[ii].set(parent_p + quat_apply(parent_q, op))
+        gquat = gquat.at[ii].set(quat_mul(parent_q, oq))
+
+    rob = [i for i in by_kind[BodyKind.ROBOT_LINK] if model.geoms[i].body >= 0]
+    if rob:
+        bidx = np.asarray([model.geoms[i].body for i in rob])
+        place(rob, body_pos[bidx], body_quat[bidx])
+    rob_base = [i for i in by_kind[BodyKind.ROBOT_LINK] if model.geoms[i].body < 0]
+    if rob_base:
+        bp = jnp.asarray(model.robot_base_pose[:3])
+        bq = jnp.asarray(model.robot_base_pose[3:7])
+        place(rob_base, bp[None], bq[None])
+    fr = by_kind[BodyKind.FREE]
+    if fr:
+        bidx = np.asarray([model.geoms[i].body for i in fr])
+        place(fr, state.free_pose[bidx, :3], state.free_pose[bidx, 3:7])
+    kin = by_kind[BodyKind.KINEMATIC]
+    if kin:
+        bidx = np.asarray([model.geoms[i].body for i in kin])
+        place(kin, state.kin_pose[bidx, :3], state.kin_pose[bidx, 3:7])
+    st = by_kind[BodyKind.STATIC]
+    if st:
+        sp = jnp.asarray(model.static_pose[np.asarray([model.geoms[i].body for i in st])])
+        place(st, sp[:, :3], sp[:, 3:7])
+    return gpos, gquat
+
+
 def compute_contacts(model: SceneModel, state: SimState, body_pos, body_quat):
     """Evaluate every static candidate pair; returns flat arrays over the
     fixed contact-point budget:
-      pos (P,3), normal (P,3) [B→A], depth (P,), mu (P,), damping (P,),
+      pos (P,3), normal (P,3) [B→A], depth (P,), mu (P,), damping (P,), k (P,)
     plus the static per-point (kind, body) tables for both sides (numpy).
+
+    Pairs are evaluated *grouped by contact function* — one vmapped call per
+    geometry-type combination — so the op count is O(#types), not O(#pairs).
     """
     params = model.params
     k = params.contact_stiffness
+    if not hasattr(model, "_geom_pose_cache"):
+        model._geom_pose_cache = _geom_pose_tables(model)
+    gsize = np.stack([g.size for g in model.geoms]) if model.geoms else np.zeros((0, 3))
+    gpos, gquat = all_geom_poses(model, state, body_pos, body_quat)
+
     pos_l, nrm_l, dep_l, mu_l, c_l, k_l = [], [], [], [], [], []
     meta_a, meta_b = [], []  # (kind, body) per point
-    for (ia, ib, fn, npts, swapped, mu) in model.pair_table:
-        ga, gb = model.geoms[ia], model.geoms[ib]
-        pa, qa = _geom_world_pose(model, ga, body_pos, body_quat, state)
-        pb, qb = _geom_world_pose(model, gb, body_pos, body_quat, state)
-        sa = jnp.asarray(ga.size)
-        sb = jnp.asarray(gb.size)
-        c = fn(pa, qa, sa, pb, qb, sb)
-        m_eff = min(_dyn_mass_of(model, ga), _dyn_mass_of(model, gb))
-        if not np.isfinite(m_eff):
-            m_eff = 1.0
-        # contact_stiffness is the *total* pair stiffness budget, split across
-        # the candidate points (pressure-like normalization). Stability at
-        # any stiffness comes from the implicit treatment in the solver, not
-        # from caps.
-        m_pt = m_eff / npts
-        k_pt = k / npts
-        damping = 2.0 * params.contact_damping_ratio * np.sqrt(k_pt * m_pt)
-        pos_l.append(c.pos)
-        nrm_l.append(c.normal)
-        dep_l.append(c.depth)
-        mu_l.append(jnp.full(npts, mu))
-        c_l.append(jnp.full(npts, damping))
-        k_l.append(jnp.full(npts, k_pt))
-        meta_a += [(ga.kind, ga.body)] * npts
-        meta_b += [(gb.kind, gb.body)] * npts
+    for (fn, npts, ia_arr, ib_arr, mu_arr) in model.pair_groups:
+        n_pairs = len(ia_arr)
+        pa, qa = gpos[ia_arr], gquat[ia_arr]
+        pb, qb = gpos[ib_arr], gquat[ib_arr]
+        sa = jnp.asarray(gsize[ia_arr])
+        sb = jnp.asarray(gsize[ib_arr])
+        c = jax.vmap(fn)(pa, qa, sa, pb, qb, sb)  # (n_pairs, npts, ...)
+        pos_l.append(c.pos.reshape(-1, 3))
+        nrm_l.append(c.normal.reshape(-1, 3))
+        dep_l.append(c.depth.reshape(-1))
+        # per-point material/solver coefficients (static)
+        mu_pt, c_pt, k_pt_arr = [], [], []
+        for j in range(n_pairs):
+            ga, gb = model.geoms[ia_arr[j]], model.geoms[ib_arr[j]]
+            m_eff = min(_dyn_mass_of(model, ga), _dyn_mass_of(model, gb))
+            if not np.isfinite(m_eff):
+                m_eff = 1.0
+            m_pt = m_eff / npts
+            k_pt = k / npts
+            damping = 2.0 * params.contact_damping_ratio * np.sqrt(k_pt * m_pt)
+            mu_pt += [mu_arr[j]] * npts
+            c_pt += [damping] * npts
+            k_pt_arr += [k_pt] * npts
+            meta_a += [(ga.kind, ga.body)] * npts
+            meta_b += [(gb.kind, gb.body)] * npts
+        mu_l.append(jnp.asarray(np.asarray(mu_pt, np.float32)))
+        c_l.append(jnp.asarray(np.asarray(c_pt, np.float32)))
+        k_l.append(jnp.asarray(np.asarray(k_pt_arr, np.float32)))
     if not pos_l:
         z3 = jnp.zeros((0, 3))
         z = jnp.zeros(0)

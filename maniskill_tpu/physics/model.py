@@ -179,6 +179,20 @@ class SceneModel:
             self.pair_table.append((ia, ib, fn, k, swapped, mu))
         self.n_contact_points = sum(t[3] for t in self.pair_table)
 
+        # Type-grouped pair table: all pairs sharing a contact function are
+        # evaluated with ONE vmapped call (a TPU needs few big ops, not many
+        # tiny ones). Groups ordered by function name for determinism.
+        by_fn = {}
+        for (ia, ib, fn, k, swapped, mu) in self.pair_table:
+            by_fn.setdefault(fn.__name__, (fn, k, []))[2].append((ia, ib, mu))
+        self.pair_groups = []
+        for fname in sorted(by_fn):
+            fn, k, entries = by_fn[fname]
+            ia_arr = np.array([e[0] for e in entries], dtype=np.int32)
+            ib_arr = np.array([e[1] for e in entries], dtype=np.int32)
+            mu_arr = np.array([e[2] for e in entries], dtype=np.float32)
+            self.pair_groups.append((fn, k, ia_arr, ib_arr, mu_arr))
+
     # -- state helpers ------------------------------------------------------
     def initial_state(self) -> SimState:
         """Single-env zero state with robot at init_qpos."""
