@@ -73,9 +73,15 @@ class BaseAgent:
     extra_collisions: List[dict] = []
     # links whose URDF primitive collisions should be loaded (None = all)
     collision_links: Optional[Sequence[str]] = None
+    # per-link: indices of URDF collision shapes to keep (None = all).
+    # Contact candidates are a static budget on TPU; prune shapes that only
+    # matter for self-collision or exotic poses.
+    urdf_collision_filter: Dict[str, Sequence[int]] = {}
+
+    balance_passive_force: bool = True  # reference base_agent.py:257
 
     def __init__(self, control_mode: Optional[str] = None):
-        self.robot_spec: RobotSpec = parse_urdf(self.urdf_path)
+        self.robot_spec: RobotSpec = self._make_robot_spec()
         self.nq = self.robot_spec.nb
         cfgs = self._controller_configs()
         if control_mode is None:
@@ -93,6 +99,11 @@ class BaseAgent:
         self.controller = CompositeController(named, self.nq)
 
     # -- to override --------------------------------------------------------
+    def _make_robot_spec(self) -> RobotSpec:
+        """Default: parse the URDF. Robots defined from MJCF or
+        programmatically override this."""
+        return parse_urdf(self.urdf_path)
+
     def _controller_configs(self) -> Dict[str, Dict[str, ControllerConfig]]:
         raise NotImplementedError
 
@@ -113,12 +124,18 @@ class BaseAgent:
         (with per-link materials applied) + declared extras."""
         out = []
         spec = self.robot_spec
+        link_counts: Dict[str, int] = {}
         for body_i, cols in enumerate(spec.body_collisions):
             for (link_name, ctype, size, p, q) in cols:
+                idx_in_link = link_counts.get(link_name, 0)
+                link_counts[link_name] = idx_in_link + 1
                 if (
                     self.collision_links is not None
                     and link_name not in self.collision_links
                 ):
+                    continue
+                keep = self.urdf_collision_filter.get(link_name)
+                if keep is not None and idx_in_link not in keep:
                     continue
                 out.append(
                     dict(
@@ -155,6 +172,7 @@ class BaseAgent:
             base_pose,
             collision_geoms=self.collision_geoms(),
             init_qpos=init_qpos,
+            balance_passive_force=self.balance_passive_force,
         )
         c = self.controller
         builder.set_drive_properties(c.kp, c.kd, c.force_limit)

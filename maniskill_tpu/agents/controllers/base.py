@@ -77,6 +77,15 @@ class PDJointVelControllerConfig(ControllerConfig):
 
 
 @dataclass
+class PassiveControllerConfig(ControllerConfig):
+    """Reference ``PassiveControllerConfig`` (passive_controller.py): the
+    joints take no actions and no drive; optional damping/friction."""
+
+    damping: Union[float, Sequence[float]] = 0.0
+    friction: Union[float, Sequence[float]] = 0.0
+
+
+@dataclass
 class PDEEPosControllerConfig(ControllerConfig):
     """Task-space delta-position control via damped-least-squares IK
     (reference pd_ee_pose.py / kinematics.py)."""
@@ -111,6 +120,20 @@ class JointController:
         self.joint_indices = idx
         self.nj = len(idx)
 
+        if isinstance(config, PassiveControllerConfig):
+            self._mode = "passive"
+            self.use_delta = self.use_target = self.mimic = False
+            self.action_dim = 0
+            self.raw_low = np.zeros(0, np.float32)
+            self.raw_high = np.zeros(0, np.float32)
+            self.normalize_action = False
+            self.qlim = qlim[idx].astype(np.float32)
+            self.kp = np.zeros(self.nj, np.float32)
+            self.kd = np.broadcast_to(
+                np.asarray(config.damping, np.float32), (self.nj,)
+            ).copy()
+            self.force_limit = np.full(self.nj, 1e10, np.float32)
+            return
         if isinstance(config, PDJointPosControllerConfig):
             lo = qlim[idx, 0].copy()
             hi = qlim[idx, 1].copy()
@@ -171,6 +194,8 @@ class JointController:
     ) -> ControllerState:
         """Compute new drive targets from an action
         (reference pd_joint_pos.py:73-90 / pd_joint_vel.py)."""
+        if self._mode == "passive":
+            return cstate
         a = self._scale(action)
         if self.mimic:
             a = jnp.broadcast_to(a, (self.nj,))

@@ -1,1 +1,2 @@
 from .panda import Panda, PandaWristCam  # noqa: F401
+from .cartpole import CartPoleRobot  # noqa: F401

@@ -55,6 +55,13 @@ class Panda(BaseAgent):
         )
     )
 
+    # keep only the "diagonal finger" + "rubber tip" boxes per finger (URDF
+    # shapes 2 and 3); the mount/sledge boxes sit inside the hand volume
+    urdf_collision_filter = {
+        "panda_leftfinger": (2, 3),
+        "panda_rightfinger": (2, 3),
+    }
+
     # hand palm (URDF uses a mesh; primitive approximation)
     extra_collisions = [
         dict(

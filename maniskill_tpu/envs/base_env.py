@@ -83,6 +83,18 @@ class TaskContext:
     def tcp_pose(self) -> Pose:
         return self.frame_pose(self.env.agent.ee_link_name)
 
+    def body_velocity(self, body_idx: int):
+        """(linear, angular) world velocity of a robot body's origin."""
+        from ..physics.engine import joint_columns, joint_columns_to_jacobian
+
+        model = self.env.model
+        ref = jnp.asarray(model.robot_base_pose[:3])
+        cols = joint_columns(model, self.body_pos, self.axis_w, ref)
+        J = joint_columns_to_jacobian(model, cols)
+        v = J[body_idx] @ self.state.sim.qvel  # (6,) [ω; v_ref]
+        lin = v[3:] + jnp.cross(v[:3], self.body_pos[body_idx] - ref)
+        return lin, v[:3]
+
     def actor_pose(self, name: str) -> Pose:
         i = self.env.model.free_index.get(name)
         if i is not None:

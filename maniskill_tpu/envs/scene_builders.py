@@ -56,6 +56,9 @@ class TableSceneBuilder:
             np.array([0, 0, -TABLE_HEIGHT, 1, 0, 0, 0], np.float32),
             [plane_geom()],
         )
+        # the floor is 0.92 m below the tabletop — the arm can never reach it;
+        # drop those contact candidates (static broadphase culling)
+        builder.exclude_groups(["robot:*"], ["ground"])
 
     def robot_pose_and_qpos(self, robot_uid: str):
         cfg = self.ROBOT_INIT.get(robot_uid, self.ROBOT_INIT["panda"])

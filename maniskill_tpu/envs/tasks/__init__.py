@@ -1,1 +1,1 @@
-from . import push_cube, pick_cube  # noqa: F401
+from . import push_cube, pick_cube, cartpole  # noqa: F401

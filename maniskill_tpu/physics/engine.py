@@ -484,12 +484,31 @@ def make_step_fn(model: SceneModel):
         # contact_lhs_robot: (nq, nq) implicit contact stiffness/damping term;
         # contact_lhs_free: (n_free, 6, 6) same per free body
         if P > 0:
+            from ..math.rotations import skew
+
             rel_a = cpos - ref
-            # per-point 3x3 velocity-coupling matrix D_p =
-            #   d_n n nᵀ + d_t (E - n nᵀ)   (PSD)
-            nnT = cnrm[:, :, None] * cnrm[:, None, :]
-            eye3 = jnp.eye(3)
-            D_p = d_n[:, None, None] * nnT + d_t[:, None, None] * (eye3 - nnT)
+
+            def point_coupling(rel, n, dn, dt):
+                """Per-point 6x6 coupling B_pᵀ D_p B_p in [ω; v] coords about
+                the arm origin, using
+                  D = dt·E + (dn-dt)·nnᵀ,
+                  BᵀDB = dt·BᵀB + (dn-dt)·wwᵀ,  w = [r×n; n]
+                so no per-point jacobians are materialized."""
+                S = skew(rel)
+                r2 = jnp.sum(rel * rel, axis=-1)
+                eye3 = jnp.eye(3)
+                tl = r2[..., None, None] * eye3 - rel[..., :, None] * rel[..., None, :]
+                top = jnp.concatenate([tl, S], axis=-1)
+                bot = jnp.concatenate(
+                    [-S, jnp.broadcast_to(eye3, S.shape)], axis=-1
+                )
+                BtB = jnp.concatenate([top, bot], axis=-2)  # (..., 6, 6)
+                w = jnp.concatenate([jnp.cross(rel, n), n], axis=-1)
+                wwT = w[..., :, None] * w[..., None, :]
+                return (
+                    dt[..., None, None] * BtB
+                    + (dn - dt)[..., None, None] * wwT
+                )
 
             # wrenches at Plücker ref (for robot) and about free-body CoMs
             w_pt = point_force_to_wrench(rel_a, f_pt)  # (P, 6) [τ; f]
@@ -498,15 +517,12 @@ def make_step_fn(model: SceneModel):
                     jnp.asarray(A_robot_a) @ w_pt - jnp.asarray(A_robot_b) @ w_pt
                 )  # (nb, 6)
                 tau_contact = jnp.einsum("bik,bi->k", J, w_robot)
-                # per-point translational jacobian (robot side, either role):
-                # J_pt = J_lin(body) + ang_cols × rel  (3, nq) per point
                 A_r = jnp.asarray(A_robot_a + A_robot_b)  # (nb, P)
-                J_pt6 = jnp.einsum("bp,bik->pik", A_r, J)  # (P, 6, nq)
-                J_pt = J_pt6[:, 3:, :] + jnp.cross(
-                    J_pt6[:, :3, :], rel_a[:, :, None], axis=1
-                )
+                M_pt = point_coupling(rel_a, cnrm, d_n, d_t)  # (P, 6, 6)
+                S_b = jnp.einsum("bp,pxy->bxy", A_r, M_pt)  # (nb, 6, 6)
+                # NOTE: S_b is in [ω; v] order but J rows are [ω; v] too
                 contact_lhs_robot = h * jnp.einsum(
-                    "pin,pij,pjm->nm", J_pt, D_p, J_pt
+                    "bik,bij,bjl->kl", J, S_b, J
                 )
             else:
                 tau_contact = jnp.zeros(nq)
@@ -520,16 +536,13 @@ def make_step_fn(model: SceneModel):
                 t_free = jnp.einsum(
                     "jp,jpk->jk", A_net, jnp.cross(arm, f_pt[None])
                 )
-                # per-(body, point) B matrix: v_pt = [-skew(r), E] [ω; v]
-                from ..math.rotations import skew
-
-                Bm = jnp.concatenate(
-                    [-skew(arm), jnp.broadcast_to(eye3, arm.shape[:2] + (3, 3))],
-                    axis=-1,
-                )  # (n_free, P, 3, 6)
-                contact_lhs_free = h * jnp.einsum(
-                    "jp,jpxn,pxy,jpym->jnm", A_f, Bm, D_p, Bm
-                )
+                M_fr = point_coupling(
+                    arm,
+                    jnp.broadcast_to(cnrm[None], arm.shape),
+                    jnp.broadcast_to(d_n[None], arm.shape[:2]),
+                    jnp.broadcast_to(d_t[None], arm.shape[:2]),
+                )  # (n_free, P, 6, 6)
+                contact_lhs_free = h * jnp.einsum("jp,jpxy->jxy", A_f, M_fr)
             else:
                 f_free = jnp.zeros((0, 3))
                 t_free = jnp.zeros((0, 3))

@@ -171,10 +171,24 @@ class SceneModel:
 
     def _build_pair_tables(self):
         """Group contact pairs and precompute combined friction etc."""
+        from .shapes import box_box_onesided
+
         self.pair_table = []
         for (ia, ib) in self.pairs:
             ga, gb = self.geoms[ia], self.geoms[ib]
             fn, k, swapped = contact_fn(ga.gtype, gb.gtype)
+            # box-box against a static/kinematic body: only the dynamic box's
+            # corners can meaningfully penetrate -> one-sided 8-point test
+            if (
+                ga.gtype == GeomType.BOX
+                and gb.gtype == GeomType.BOX
+                and (ga.kind in (BodyKind.STATIC, BodyKind.KINEMATIC))
+                != (gb.kind in (BodyKind.STATIC, BodyKind.KINEMATIC))
+            ):
+                if ga.kind in (BodyKind.STATIC, BodyKind.KINEMATIC):
+                    ia, ib = ib, ia
+                    ga, gb = gb, ga
+                fn, k = box_box_onesided, 8
             mu = 0.5 * (ga.friction + gb.friction)  # PhysX default: average
             self.pair_table.append((ia, ib, fn, k, swapped, mu))
         self.n_contact_points = sum(t[3] for t in self.pair_table)
@@ -238,6 +252,7 @@ class SceneSpecBuilder:
         self.drive_force_limit = None
         self.init_qpos = None
         self._excluded_pairs: set = set()
+        self._excluded_groups: list = []
 
     # -- robot --------------------------------------------------------------
     def add_robot(
@@ -363,6 +378,28 @@ class SceneSpecBuilder:
     def exclude_pair(self, name_a: str, name_b: str):
         self._excluded_pairs.add(frozenset((name_a, name_b)))
 
+    def exclude_groups(self, patterns_a, patterns_b):
+        """Exclude all pairs where one geom name matches any pattern in
+        ``patterns_a`` (fnmatch) and the other matches ``patterns_b``. Used
+        e.g. to drop unreachable candidates (tabletop robots can never touch
+        the floor under the table) — the static analogue of PhysX collision
+        groups + broadphase culling."""
+        self._excluded_groups.append((tuple(patterns_a), tuple(patterns_b)))
+
+    def _group_excluded(self, name_a: str, name_b: str) -> bool:
+        from fnmatch import fnmatch
+
+        for (pats_a, pats_b) in self._excluded_groups:
+            a_in_a = any(fnmatch(name_a, p) for p in pats_a)
+            b_in_b = any(fnmatch(name_b, p) for p in pats_b)
+            if a_in_a and b_in_b:
+                return True
+            b_in_a = any(fnmatch(name_b, p) for p in pats_a)
+            a_in_b = any(fnmatch(name_a, p) for p in pats_b)
+            if b_in_a and a_in_b:
+                return True
+        return False
+
     # -- build --------------------------------------------------------------
     def build(self) -> SceneModel:
         pairs = []
@@ -391,6 +428,8 @@ class SceneSpecBuilder:
                     # rely on PhysX srdf filtering; revisit for humanoids)
                     continue
                 if frozenset((gi.name, gj.name)) in self._excluded_pairs:
+                    continue
+                if self._group_excluded(gi.name, gj.name):
                     continue
                 # canonical order for contact_fn (lower gtype first)
                 if gi.gtype <= gj.gtype:

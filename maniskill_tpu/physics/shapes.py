@@ -199,6 +199,17 @@ def capsule_capsule(pa, qa, sa, pb, qb, sb) -> ContactPoints:
     return ContactPoints(pos[None], n[None], depth[None])
 
 
+def box_box_onesided(pa, qa, sa, pb, qb, sb) -> ContactPoints:
+    """Corners of box A against box B only (8 points). Used when B is a
+    large static body (e.g. the tabletop): B's corners can never be inside A,
+    so the symmetric 16-point test wastes half the contact budget."""
+    ca = _box_corners(pa, qa, sa)  # (8,3)
+    ca_local = quat_apply(quat_conjugate(qb)[None], ca - pb)
+    sdf_a, n_a_local = _point_box_sdf(ca_local, sb)
+    n_a = quat_apply(qb[None], n_a_local)  # B -> A
+    return ContactPoints(ca, n_a, -sdf_a)
+
+
 # Dispatch table: (type_a, type_b) -> (fn, n_points). Pairs are canonically
 # ordered by the model builder so only these combinations occur.
 PAIR_FUNCS = {
