@@ -1,0 +1,2 @@
+from .record import RecordEpisode, load_trajectories
+from .replay import replay_trajectory

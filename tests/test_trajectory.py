@@ -1,0 +1,37 @@
+"""Trajectory record/replay tests (reference test_wrappers.py RecordEpisode
+coverage + the h5 format contract, record.py:120-186)."""
+import os
+
+import numpy as np
+import pytest
+
+import maniskill_tpu as mst
+from maniskill_tpu.trajectory import RecordEpisode, load_trajectories, replay_trajectory
+
+
+def test_record_and_replay(tmp_path):
+    env = mst.make("PushCube-v1", num_envs=2)
+    rec = RecordEpisode(env, str(tmp_path), save_obs=True)
+    obs, _ = rec.reset(seed=7)
+    rng = np.random.RandomState(0)
+    T = 5
+    actions = rng.uniform(-1, 1, (T, 2, env.action_dim)).astype(np.float32)
+    for t in range(T):
+        rec.step(actions[t])
+    rec.close()
+
+    h5p = os.path.join(str(tmp_path), "trajectory.h5")
+    trajs = load_trajectories(h5p)
+    assert len(trajs) == 2  # one per sub-env
+    tr = trajs[0]
+    assert tr["actions"].shape == (T, env.action_dim)
+    assert tr["terminated"].shape == (T,)
+    assert "actors" in tr["env_states"]
+    assert tr["env_states"]["actors"]["cube"].shape == (T + 1, 13)
+    assert tr["obs"].shape[0] == T + 1
+
+    # replay via env states: runs through without error and matches shapes
+    env2 = mst.make("PushCube-v1", num_envs=1)
+    results = replay_trajectory(h5p, env=env2, use_env_states=True)
+    assert len(results) == 2
+    assert all(r["steps"] == T for r in results)
