@@ -8,7 +8,7 @@ import pytest
 
 import maniskill_tpu as mst
 
-ENV_IDS = ["PushCube-v1", "PickCube-v1"]
+ENV_IDS = ["PushCube-v1", "PickCube-v1", "StackCube-v1", "PullCube-v1"]
 
 
 @pytest.fixture(scope="module", params=ENV_IDS)
@@ -140,3 +140,16 @@ def test_nan_action_isolated():
     a[0, 0] = np.nan
     obs, *_ = env.step(a)
     assert bool(jnp.isfinite(obs).all())
+
+
+def test_all_registered_envs_run():
+    """Every registered env instantiates and survives random steps
+    (reference test_envs.py:21-30 matrix)."""
+    import maniskill_tpu as mst
+
+    for eid in sorted(mst.REGISTERED_ENVS):
+        env = mst.make(eid, num_envs=2)
+        obs, _ = env.reset(seed=0)
+        a = np.random.RandomState(0).uniform(-1, 1, (2, env.action_dim)).astype(np.float32)
+        obs, rew, term, trunc, info = env.step(a)
+        assert bool(jnp.isfinite(jnp.asarray(obs)).all()), eid
