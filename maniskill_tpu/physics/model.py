@@ -59,7 +59,8 @@ class SimParams:
     PhysX's iterative-solver knobs replaced by compliant-contact parameters."""
 
     dt: float = 0.01  # outer sim step (sim_freq=100, reference types.py:82)
-    substeps: int = 4  # inner integrator substeps per sim step
+    substeps: int = 2  # inner integrator substeps per sim step (implicit
+    # contact + drives are stable at h=5ms; raise for stiffer scenes)
     gravity: Tuple[float, float, float] = (0.0, 0.0, -9.81)
     contact_stiffness: float = 2.0e4  # N/m penalty spring
     contact_damping_ratio: float = 1.0  # fraction of critical damping

@@ -1,2 +1,3 @@
 from .mppi import MPPI, MPPIConfig, MPPIState
 from .cem import CEM, CEMConfig, CEMState
+from .ilqr import ILQR, ILQRConfig
