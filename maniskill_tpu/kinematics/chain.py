@@ -24,36 +24,48 @@ from .urdf import JOINT_REVOLUTE, RobotSpec
 
 def fk(spec: RobotSpec, base_pose: jnp.ndarray, qpos: jnp.ndarray):
     """Forward kinematics. Returns (body_pos (nb,3), body_quat (nb,4),
-    axis_w (nb,3))."""
-    nb = spec.nb
+    axis_w (nb,3)).
+
+    Two lowerings of the same math:
+      * TPU: unrolled over bodies with *static* parent indexing — the scan
+        formulation's per-body dynamic gather/scatter (dynamic-update-slice)
+        dominated the whole physics substep on TPU. Extra XLA compile time is
+        amortized by the persistent compilation cache.
+      * CPU (dev/test): lax.scan with dynamic parent gather — compiles ~10x
+        faster and runs fine there.
+    """
+    if jax.default_backend() == "cpu":
+        return _fk_scan(spec, base_pose, qpos)
+    return _fk_unrolled(spec, base_pose, qpos)
+
+
+def _fk_unrolled(spec: RobotSpec, base_pose: jnp.ndarray, qpos: jnp.ndarray):
     base_p = base_pose[..., :3]
     base_q = base_pose[..., 3:7]
-    xs = (
-        jnp.asarray(spec.joint_pos, dtype=jnp.float32),
-        jnp.asarray(spec.joint_quat, dtype=jnp.float32),
-        jnp.asarray(spec.axis, dtype=jnp.float32),
-        jnp.asarray(spec.joint_type == JOINT_REVOLUTE, dtype=jnp.float32),
-        jnp.asarray(spec.parent + 1, dtype=jnp.int32),  # slot 0 = base
-        qpos,
-        jnp.arange(1, nb + 1, dtype=jnp.int32),
-    )
-    pos0 = jnp.zeros((nb + 1, 3)).at[0].set(base_p)
-    quat0 = jnp.zeros((nb + 1, 4)).at[0].set(base_q)
-
-    def body(carry, x):
-        pos, quat = carry
-        jp, jq, ax, is_rev, par, q, idx = x
-        pp = pos[par]
-        pq = quat[par]
-        fp = pp + quat_apply(pq, jp)
+    pos_list, quat_list, axis_list = [], [], []
+    for i in range(spec.nb):
+        par = int(spec.parent[i])
+        pp = base_p if par < 0 else pos_list[par]
+        pq = base_q if par < 0 else quat_list[par]
+        jp = jnp.asarray(spec.joint_pos[i], dtype=jnp.float32)
+        jq = jnp.asarray(spec.joint_quat[i], dtype=jnp.float32)
+        ax = jnp.asarray(spec.axis[i], dtype=jnp.float32)
+        fp = pp + quat_apply(pq, jp)  # joint frame in world
         fq = quat_mul(pq, jq)
-        bq = jnp.where(is_rev > 0, quat_mul(fq, quat_from_axis_angle(ax, q)), fq)
-        bp = jnp.where(is_rev > 0, fp, fp + quat_apply(fq, ax * q))
-        axis_w = quat_apply(fq, ax)
-        return (pos.at[idx].set(bp), quat.at[idx].set(bq)), axis_w
-
-    (pos, quat), axis_w = jax.lax.scan(body, (pos0, quat0), xs)
-    return pos[1:], quat[1:], axis_w
+        if int(spec.joint_type[i]) == JOINT_REVOLUTE:
+            bq = quat_mul(fq, quat_from_axis_angle(ax, qpos[i]))
+            bp = fp
+        else:  # prismatic
+            bq = fq
+            bp = fp + quat_apply(fq, ax * qpos[i])
+        axis_list.append(quat_apply(fq, ax))
+        pos_list.append(bp)
+        quat_list.append(bq)
+    return (
+        jnp.stack(pos_list, axis=-2),
+        jnp.stack(quat_list, axis=-2),
+        jnp.stack(axis_list, axis=-2),
+    )
 
 
 def frame_pose(
@@ -103,3 +115,35 @@ def dls_ik_delta(
     m = J.shape[0]
     JJt = J @ J.T + (damping**2) * jnp.eye(m)
     return J.T @ jnp.linalg.solve(JJt, dx)
+
+
+def _fk_scan(spec: RobotSpec, base_pose: jnp.ndarray, qpos: jnp.ndarray):
+    nb = spec.nb
+    base_p = base_pose[..., :3]
+    base_q = base_pose[..., 3:7]
+    xs = (
+        jnp.asarray(spec.joint_pos, dtype=jnp.float32),
+        jnp.asarray(spec.joint_quat, dtype=jnp.float32),
+        jnp.asarray(spec.axis, dtype=jnp.float32),
+        jnp.asarray(spec.joint_type == JOINT_REVOLUTE, dtype=jnp.float32),
+        jnp.asarray(spec.parent + 1, dtype=jnp.int32),  # slot 0 = base
+        qpos,
+        jnp.arange(1, nb + 1, dtype=jnp.int32),
+    )
+    pos0 = jnp.zeros((nb + 1, 3)).at[0].set(base_p)
+    quat0 = jnp.zeros((nb + 1, 4)).at[0].set(base_q)
+
+    def body(carry, x):
+        pos, quat = carry
+        jp, jq, ax, is_rev, par, q, idx = x
+        pp = pos[par]
+        pq = quat[par]
+        fp = pp + quat_apply(pq, jp)
+        fq = quat_mul(pq, jq)
+        bq = jnp.where(is_rev > 0, quat_mul(fq, quat_from_axis_angle(ax, q)), fq)
+        bp = jnp.where(is_rev > 0, fp, fp + quat_apply(fq, ax * q))
+        axis_w = quat_apply(fq, ax)
+        return (pos.at[idx].set(bp), quat.at[idx].set(bq)), axis_w
+
+    (pos, quat), axis_w = jax.lax.scan(body, (pos0, quat0), xs)
+    return pos[1:], quat[1:], axis_w

@@ -127,23 +127,27 @@ def quat_from_axis_angle(axis: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
 
 
 def quat_exp(w: jnp.ndarray) -> jnp.ndarray:
-    """Exponential map: rotation vector (..., 3) -> quaternion. Safe at 0."""
-    angle = jnp.linalg.norm(w, axis=-1, keepdims=True)
+    """Exponential map: rotation vector (..., 3) -> quaternion.
+
+    Value- AND gradient-safe at w=0 (a bare ``norm`` has a NaN gradient at
+    zero which a ``where`` does not block — it would poison every
+    ``jax.grad``/``jacfwd`` through the integrator, e.g. iLQR)."""
+    sq = jnp.sum(w * w, axis=-1, keepdims=True)
+    angle = jnp.sqrt(sq + 1e-18)
     half = 0.5 * angle
-    # sinc-based small-angle-safe form
-    k = jnp.where(angle < 1e-8, 0.5, jnp.sin(half) / jnp.maximum(angle, 1e-12))
+    k = jnp.sin(half) / angle
     return jnp.concatenate([jnp.cos(half), w * k], axis=-1)
 
 
 def quat_log(q: jnp.ndarray) -> jnp.ndarray:
-    """Log map: unit quaternion -> rotation vector (..., 3). Safe near identity."""
+    """Log map: unit quaternion -> rotation vector (..., 3). Value- and
+    gradient-safe near identity."""
     q = jnp.where(q[..., :1] < 0.0, -q, q)  # shortest arc
     w = jnp.clip(q[..., :1], -1.0, 1.0)
     v = q[..., 1:]
-    s = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    s = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True) + 1e-18)
     angle = 2.0 * jnp.arctan2(s, w)
-    k = jnp.where(s < 1e-8, 2.0, angle / jnp.maximum(s, 1e-12))
-    return v * k
+    return v * (angle / s)
 
 
 def quat_from_euler(rpy: jnp.ndarray) -> jnp.ndarray:
@@ -194,10 +198,12 @@ def random_quaternion(key, shape=(), lock_x: bool = False, lock_y: bool = False,
 
 def angle_between(a: jnp.ndarray, b: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
     """Angle (radians) between batched vectors. Mirrors reference
-    ``utils/common.py:compute_angle_between``."""
-    na = a / jnp.linalg.norm(a, axis=-1, keepdims=True).clip(eps)
-    nb = b / jnp.linalg.norm(b, axis=-1, keepdims=True).clip(eps)
-    return jnp.arccos(jnp.clip(jnp.sum(na * nb, axis=-1), -1.0, 1.0))
+    ``utils/common.py:compute_angle_between``. Gradient-safe at zero vectors
+    and at parallel vectors (clip keeps arccos off its infinite-slope ends
+    only in value; inputs are nudged off +-1)."""
+    na = a / jnp.sqrt(jnp.sum(a * a, axis=-1, keepdims=True) + eps * eps)
+    nb = b / jnp.sqrt(jnp.sum(b * b, axis=-1, keepdims=True) + eps * eps)
+    return jnp.arccos(jnp.clip(jnp.sum(na * nb, axis=-1), -1.0 + 1e-7, 1.0 - 1e-7))
 
 
 def skew(v: jnp.ndarray) -> jnp.ndarray:

@@ -37,6 +37,7 @@ from ..math.rotations import (
 )
 from .model import BodyKind, DriveCmd, SceneModel, SimState
 from .shapes import GeomType
+from .linalg import solve_psd
 from .spatial import (
     force_cross,
     motion_cross,
@@ -52,47 +53,12 @@ from ..kinematics.urdf import JOINT_PRISMATIC, JOINT_REVOLUTE
 
 
 def robot_fk(model: SceneModel, qpos: jnp.ndarray):
-    """Forward kinematics of the robot tree.
+    """Forward kinematics of the robot tree (delegates to
+    :func:`maniskill_tpu.kinematics.chain.fk` — unrolled static-index form;
+    see the note there on TPU gather/scatter cost)."""
+    from ..kinematics import chain
 
-    Returns (body_pos (nb,3), body_quat (nb,4), axis_w (nb,3)).
-
-    Implemented as a ``lax.scan`` over bodies (topologically sorted; parent
-    pose read back via dynamic gather) so the per-body computation is traced
-    and compiled exactly once — unrolling the chain in Python multiplied XLA
-    compile time by the body count. Batching comes from vmap at the env layer.
-    """
-    spec = model.robot
-    nb = spec.nb
-    base_p = jnp.asarray(model.robot_base_pose[:3])
-    base_q = jnp.asarray(model.robot_base_pose[3:7])
-    xs = (
-        jnp.asarray(spec.joint_pos, dtype=jnp.float32),  # (nb, 3)
-        jnp.asarray(spec.joint_quat, dtype=jnp.float32),  # (nb, 4)
-        jnp.asarray(spec.axis, dtype=jnp.float32),  # (nb, 3)
-        jnp.asarray(spec.joint_type == JOINT_REVOLUTE, dtype=jnp.float32),
-        jnp.asarray(spec.parent + 1, dtype=jnp.int32),  # slot 0 = base
-        qpos,
-        jnp.arange(1, nb + 1, dtype=jnp.int32),
-    )
-    pos0 = jnp.zeros((nb + 1, 3)).at[0].set(base_p)
-    quat0 = jnp.zeros((nb + 1, 4)).at[0].set(base_q)
-
-    def body(carry, x):
-        pos, quat = carry
-        jp, jq, ax, is_rev, par, q, idx = x
-        pp = pos[par]
-        pq = quat[par]
-        fp = pp + quat_apply(pq, jp)  # joint frame in world
-        fq = quat_mul(pq, jq)
-        bq = jnp.where(
-            is_rev > 0, quat_mul(fq, quat_from_axis_angle(ax, q)), fq
-        )
-        bp = jnp.where(is_rev > 0, fp, fp + quat_apply(fq, ax * q))
-        axis_w = quat_apply(fq, ax)
-        return (pos.at[idx].set(bp), quat.at[idx].set(bq)), axis_w
-
-    (pos, quat), axis_w = jax.lax.scan(body, (pos0, quat0), xs)
-    return pos[1:], quat[1:], axis_w
+    return chain.fk(model.robot, jnp.asarray(model.robot_base_pose), qpos)
 
 
 def robot_jacobian(
@@ -188,22 +154,27 @@ def _geom_pose_tables(model: SceneModel):
 
 
 def all_geom_poses(model: SceneModel, state: SimState, body_pos, body_quat):
-    """World poses of every geom as (G,3), (G,4) arrays, built with one
-    static gather + compose per body kind."""
+    """World poses of every geom as (G,3), (G,4) arrays.
+
+    One static-gather + batched compose per body kind, then assembled back
+    into geom order with static slices (scatter-free: dynamic-update-slice is
+    the slowest primitive on TPU)."""
     offs_p, offs_q, by_kind = model._geom_pose_cache
     G = len(model.geoms)
-    gpos = jnp.zeros((G, 3))
-    gquat = jnp.zeros((G, 4))
+    if G == 0:
+        return jnp.zeros((0, 3)), jnp.zeros((0, 4))
+    parts = {}  # geom_idx -> (pos (3,), quat (4,))
 
     def place(idxs, parent_p, parent_q):
-        nonlocal gpos, gquat
         if not idxs:
             return
         ii = np.asarray(idxs)
         op = jnp.asarray(offs_p[ii])
         oq = jnp.asarray(offs_q[ii])
-        gpos = gpos.at[ii].set(parent_p + quat_apply(parent_q, op))
-        gquat = gquat.at[ii].set(quat_mul(parent_q, oq))
+        p = parent_p + quat_apply(parent_q, op)
+        q = quat_mul(parent_q, oq)
+        for pos_in_kind, gi in enumerate(idxs):
+            parts[gi] = (p[pos_in_kind], q[pos_in_kind])
 
     rob = [i for i in by_kind[BodyKind.ROBOT_LINK] if model.geoms[i].body >= 0]
     if rob:
@@ -213,7 +184,8 @@ def all_geom_poses(model: SceneModel, state: SimState, body_pos, body_quat):
     if rob_base:
         bp = jnp.asarray(model.robot_base_pose[:3])
         bq = jnp.asarray(model.robot_base_pose[3:7])
-        place(rob_base, bp[None], bq[None])
+        place(rob_base, jnp.broadcast_to(bp, (len(rob_base), 3)),
+              jnp.broadcast_to(bq, (len(rob_base), 4)))
     fr = by_kind[BodyKind.FREE]
     if fr:
         bidx = np.asarray([model.geoms[i].body for i in fr])
@@ -224,8 +196,12 @@ def all_geom_poses(model: SceneModel, state: SimState, body_pos, body_quat):
         place(kin, state.kin_pose[bidx, :3], state.kin_pose[bidx, 3:7])
     st = by_kind[BodyKind.STATIC]
     if st:
-        sp = jnp.asarray(model.static_pose[np.asarray([model.geoms[i].body for i in st])])
+        sp = jnp.asarray(
+            model.static_pose[np.asarray([model.geoms[i].body for i in st])]
+        )
         place(st, sp[:, :3], sp[:, 3:7])
+    gpos = jnp.stack([parts[i][0] for i in range(G)])
+    gquat = jnp.stack([parts[i][1] for i in range(G)])
     return gpos, gquat
 
 
@@ -605,9 +581,9 @@ def make_step_fn(model: SceneModel):
             # so stiff contacts and gains stay stable at any dt)
             diag = h * (kp * h + kd) + h * joint_damping
             lhs = M + jnp.diag(diag) + contact_lhs_robot + 1e-6 * jnp.eye(nq)
-            qacc = jax.scipy.linalg.cho_solve(
-                jax.scipy.linalg.cho_factor(lhs), rhs
-            )
+            # unrolled static Cholesky: XLA's batched cholesky lowers to
+            # column loops with dynamic slices (slow on TPU)
+            qacc = solve_psd(lhs, rhs)
             qvel_new = state.qvel + h * qacc
             qpos_new = state.qpos + h * qvel_new
         else:
@@ -629,7 +605,7 @@ def make_step_fn(model: SceneModel):
                 free_mass[:, None, None] * jnp.eye(3)[None]
             )
             lhs6 = M6 + contact_lhs_free + 1e-9 * jnp.eye(6)[None]
-            du = jnp.linalg.solve(lhs6, (h * W)[..., None])[..., 0]
+            du = solve_psd(lhs6, h * W)
             u_new = u + du
             ang_new, lin_new = u_new[:, :3], u_new[:, 3:]
             p_new = state.free_pose[:, :3] + h * lin_new

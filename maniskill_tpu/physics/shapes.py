@@ -82,8 +82,8 @@ def plane_capsule(pa, qa, sa, pb, qb, sb) -> ContactPoints:
 
 def sphere_sphere(pa, qa, sa, pb, qb, sb) -> ContactPoints:
     d = pa - pb
-    dist = jnp.linalg.norm(d)
-    n = d / jnp.maximum(dist, 1e-9)
+    dist = jnp.sqrt(jnp.sum(d * d) + 1e-18)
+    n = d / dist
     depth = sa[0] + sb[0] - dist
     pos = pb + n * (sb[0] - 0.5 * depth)
     return ContactPoints(pos[None], n[None], depth[None])
@@ -94,17 +94,21 @@ def _point_box_sdf(p_local: jnp.ndarray, half: jnp.ndarray):
     p_local: (..., 3). Returns sdf (...,), normal (..., 3)."""
     q = jnp.abs(p_local) - half
     outside = jnp.maximum(q, 0.0)
-    d_out = jnp.linalg.norm(outside, axis=-1)
+    # gradient-safe norm: plain norm(0) has a NaN gradient that leaks through
+    # jnp.where into every jacobian of the step function
+    d_out = jnp.sqrt(jnp.sum(outside * outside, axis=-1) + 1e-18)
     d_in = jnp.minimum(jnp.max(q, axis=-1), 0.0)
     sdf = d_out + d_in
     # outward normal: outside -> direction of outside vector; inside -> axis of
     # least penetration.
     n_out = outside * jnp.sign(p_local)
-    n_out = n_out / jnp.maximum(jnp.linalg.norm(n_out, axis=-1, keepdims=True), 1e-9)
-    inner_axis = jnp.argmax(q, axis=-1)
-    n_in = jnp.eye(3)[inner_axis] * jnp.sign(
-        jnp.take_along_axis(p_local, inner_axis[..., None], axis=-1)
-    )
+    n_out = n_out / jnp.sqrt(jnp.sum(n_out * n_out, axis=-1, keepdims=True) + 1e-18)
+    # interior normal: axis of least penetration, as an arithmetic one-hot
+    # (argmax + gather lowers to slow dynamic indexing on TPU)
+    qmax = jnp.max(q, axis=-1, keepdims=True)
+    onehot = (q >= qmax).astype(p_local.dtype)
+    onehot = onehot / jnp.sum(onehot, axis=-1, keepdims=True)
+    n_in = onehot * jnp.sign(p_local)
     n = jnp.where((d_out > 1e-9)[..., None], n_out, n_in)
     return sdf, n
 
@@ -152,8 +156,8 @@ def sphere_capsule(pa, qa, sa, pb, qb, sb) -> ContactPoints:
     t = jnp.clip(jnp.dot(pa - pb, axis), -sb[1], sb[1])
     closest = pb + axis * t
     d = pa - closest
-    dist = jnp.linalg.norm(d)
-    n = d / jnp.maximum(dist, 1e-9)
+    dist = jnp.sqrt(jnp.sum(d * d) + 1e-18)
+    n = d / dist
     depth = sa[0] + sb[0] - dist
     pos = closest + n * (sb[0] - 0.5 * depth)
     return ContactPoints(pos[None], n[None], depth[None])
@@ -192,8 +196,8 @@ def capsule_capsule(pa, qa, sa, pb, qb, sb) -> ContactPoints:
     ca = pa + ua * s
     cb = pb + ub * t
     d = ca - cb
-    dist = jnp.linalg.norm(d)
-    n = d / jnp.maximum(dist, 1e-9)
+    dist = jnp.sqrt(jnp.sum(d * d) + 1e-18)
+    n = d / dist
     depth = ra + rb - dist
     pos = cb + n * (rb - 0.5 * depth)
     return ContactPoints(pos[None], n[None], depth[None])
