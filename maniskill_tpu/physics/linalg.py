@@ -7,36 +7,42 @@ operation is a fused (batch,)-vector op on the VPU with no gather/scatter.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
 def solve_psd(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Solve A x = b for symmetric positive-definite A (n, n), n static and
-    small (<= ~16). Unrolled Cholesky + back-substitution."""
+    """Solve A x = b for symmetric positive-definite A (..., n, n), n static
+    and small (<= ~16).
+
+    Column-vectorized Cholesky: the factor is held as a list of column slices
+    (no scatters, no dynamic indexing), every op is an O(n)-length vector op
+    over the batch — ~n ops per phase instead of O(n^2) scalar ops.
+    """
     n = A.shape[-1]
-    # Cholesky: A = L Lᵀ, statically unrolled
-    L = [[None] * n for _ in range(n)]
-    for i in range(n):
-        for j in range(i + 1):
-            s = A[..., i, j]
-            for k in range(j):
-                s = s - L[i][k] * L[j][k]
-            if i == j:
-                L[i][j] = jnp.sqrt(jnp.maximum(s, 1e-12))
-            else:
-                L[i][j] = s / L[j][j]
-    # forward substitution L y = b
-    y = [None] * n
-    for i in range(n):
-        s = b[..., i]
-        for k in range(i):
-            s = s - L[i][k] * y[k]
-        y[i] = s / L[i][i]
+    # cols[j] = L[j:, j], shape (..., n-j); col_j = s / sqrt(s[0]) where
+    # s = A[j:, j] - sum_k L[j:, k] * L[j, k]
+    cols = []
+    for j in range(n):
+        s = A[..., j:, j]
+        for k in range(j):
+            ck = cols[k]
+            s = s - ck[..., j - k :] * ck[..., j - k : j - k + 1]
+        s0 = jnp.maximum(s[..., :1], 1e-12)
+        cols.append(s * jax.lax.rsqrt(s0))
+    # forward substitution L y = b, residual form
+    r = b
+    y = []
+    for j in range(n):
+        yj = r[..., 0] / cols[j][..., 0]
+        y.append(yj)
+        r = r[..., 1:] - cols[j][..., 1:] * yj[..., None]
     # back substitution Lᵀ x = y
     x = [None] * n
     for i in range(n - 1, -1, -1):
         s = y[i]
-        for k in range(i + 1, n):
-            s = s - L[k][i] * x[k]
-        x[i] = s / L[i][i]
+        if i < n - 1:
+            xi_tail = jnp.stack(x[i + 1 :], axis=-1)  # (..., n-1-i)
+            s = s - jnp.sum(cols[i][..., 1:] * xi_tail, axis=-1)
+        x[i] = s / cols[i][..., 0]
     return jnp.stack(x, axis=-1)
