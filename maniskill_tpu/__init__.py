@@ -31,6 +31,13 @@ if not _os.environ.get("MANISKILL_TPU_NO_CACHE"):
 from .envs.registration import REGISTERED_ENVS, make, register_env
 
 
+def register_gym_envs():
+    """Expose every task to gymnasium (maniskill_tpu/<id>)."""
+    from .utils.gym_interop import register_gym_envs as _r
+
+    _r()
+
+
 def _register_all():
     """Import agent/task modules so their registration decorators run."""
     from . import agents  # noqa: F401

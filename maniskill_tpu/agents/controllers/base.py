@@ -86,6 +86,19 @@ class PassiveControllerConfig(ControllerConfig):
 
 
 @dataclass
+class PDBaseForwardVelControllerConfig(ControllerConfig):
+    """Ego-centric mobile-base velocity control (reference
+    ``pd_base_vel.py:PDBaseForwardVelController``): 2 actions
+    (forward velocity, rotation velocity) mapped onto root x/y/θ joints."""
+
+    lower: float = -0.5
+    upper: float = 0.5
+    damping: Union[float, Sequence[float]] = 1e3
+    force_limit: Union[float, Sequence[float]] = 1e10
+    normalize_action: bool = True
+
+
+@dataclass
 class PDEEPosControllerConfig(ControllerConfig):
     """Task-space delta-position control via damped-least-squares IK
     (reference pd_ee_pose.py / kinematics.py)."""
@@ -120,6 +133,24 @@ class JointController:
         self.joint_indices = idx
         self.nj = len(idx)
 
+        if isinstance(config, PDBaseForwardVelControllerConfig):
+            # joints must be ordered (root_x, root_y, root_theta)
+            assert self.nj == 3
+            self._mode = "base_vel"
+            self.use_delta = self.use_target = self.mimic = False
+            self.action_dim = 2
+            self.raw_low = np.full(2, config.lower, np.float32)
+            self.raw_high = np.full(2, config.upper, np.float32)
+            self.normalize_action = config.normalize_action
+            self.qlim = qlim[idx].astype(np.float32)
+            self.kp = np.zeros(self.nj, np.float32)
+            self.kd = np.broadcast_to(
+                np.asarray(config.damping, np.float32), (self.nj,)
+            ).copy()
+            self.force_limit = np.broadcast_to(
+                np.asarray(config.force_limit, np.float32), (self.nj,)
+            ).copy()
+            return
         if isinstance(config, PassiveControllerConfig):
             self._mode = "passive"
             self.use_delta = self.use_target = self.mimic = False
@@ -196,6 +227,17 @@ class JointController:
         (reference pd_joint_pos.py:73-90 / pd_joint_vel.py)."""
         if self._mode == "passive":
             return cstate
+        if self._mode == "base_vel":
+            # ego-centric (forward, rotation) -> world-frame (vx, vy, ω)
+            # (reference pd_base_vel.py:48-66)
+            a = self._scale(action)
+            ori = qpos[self.joint_indices[2]]
+            vx = a[0] * jnp.cos(ori)
+            vy = a[0] * jnp.sin(ori)
+            return cstate.replace(
+                target_qvel=jnp.stack([vx, vy, a[1]]),
+                target_qpos=qpos[self.joint_indices],
+            )
         a = self._scale(action)
         if self.mimic:
             a = jnp.broadcast_to(a, (self.nj,))

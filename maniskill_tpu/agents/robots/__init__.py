@@ -1,2 +1,3 @@
 from .panda import Panda, PandaWristCam  # noqa: F401
 from .cartpole import CartPoleRobot  # noqa: F401
+from .fetch import Fetch  # noqa: F401

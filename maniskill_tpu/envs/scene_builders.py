@@ -40,6 +40,10 @@ class TableSceneBuilder:
                  -np.pi / 4, 0.04, 0.04], np.float32,
             ),
         ),
+        "fetch": dict(
+            pose=np.array([-1.05, 0, -TABLE_HEIGHT, 1, 0, 0, 0], np.float32),
+            qpos=None,  # resolved from the agent keyframe by joint name
+        ),
     }
 
     def __init__(self, env):
@@ -62,4 +66,19 @@ class TableSceneBuilder:
 
     def robot_pose_and_qpos(self, robot_uid: str):
         cfg = self.ROBOT_INIT.get(robot_uid, self.ROBOT_INIT["panda"])
-        return cfg["pose"], cfg["qpos"]
+        qpos = cfg["qpos"]
+        if qpos is None and robot_uid == "fetch":
+            # reference table scene fetch init (scene_builder.py:81-101)
+            by_name = dict(self.env.agent.REST_QPOS_BY_NAME)
+            by_name.update(
+                torso_lift_joint=0.386, head_tilt_joint=0.0,
+                shoulder_pan_joint=0.0, shoulder_lift_joint=-np.pi / 4,
+                upperarm_roll_joint=0.0, elbow_flex_joint=np.pi / 4,
+                forearm_roll_joint=0.0, wrist_flex_joint=np.pi / 3,
+                wrist_roll_joint=0.0,
+            )
+            qpos = np.array(
+                [by_name[n] for n in self.env.agent.robot_spec.joint_names],
+                np.float32,
+            )
+        return cfg["pose"], qpos

@@ -22,7 +22,7 @@ from ..scene_builders import TableSceneBuilder
 
 @register_env("StackCube-v1", max_episode_steps=50)
 class StackCubeEnv(BaseEnv):
-    SUPPORTED_ROBOTS = ["panda", "panda_wristcam"]
+    SUPPORTED_ROBOTS = ["panda", "panda_wristcam", "fetch"]
     DEFAULT_ROBOT = "panda"
 
     cube_half_size = 0.02

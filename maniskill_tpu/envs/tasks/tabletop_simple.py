@@ -20,7 +20,7 @@ from ..scene_builders import TableSceneBuilder
 
 
 class _TabletopBase(BaseEnv):
-    SUPPORTED_ROBOTS = ["panda", "panda_wristcam"]
+    SUPPORTED_ROBOTS = ["panda", "panda_wristcam", "fetch"]
     DEFAULT_ROBOT = "panda"
 
     def _load_agent(self, builder: SceneSpecBuilder):
