@@ -495,14 +495,12 @@ def make_step_fn(model: SceneModel):
                 tau_contact = jnp.einsum("bik,bi->k", J, w_robot)
                 A_r = jnp.asarray(A_robot_a + A_robot_b)  # (nb, P)
                 M_pt = point_coupling(rel_a, cnrm, d_n, d_t)  # (P, 6, 6)
-                S_b = jnp.einsum("bp,pxy->bxy", A_r, M_pt)  # (nb, 6, 6)
-                # NOTE: S_b is in [ω; v] order but J rows are [ω; v] too
-                contact_lhs_robot = h * jnp.einsum(
-                    "bik,bij,bjl->kl", J, S_b, J
-                )
+                # S_b is in [ω; v] order like J's rows; it augments the
+                # spatial inertia in the single Jᵀ(I + h·S)J contraction below
+                contact_S_b = jnp.einsum("bp,pxy->bxy", A_r, M_pt)  # (nb,6,6)
             else:
                 tau_contact = jnp.zeros(nq)
-                contact_lhs_robot = jnp.zeros((nq, nq))
+                contact_S_b = jnp.zeros((max(nq, 1), 6, 6))
             if n_free > 0:
                 A_net = jnp.asarray(A_free_a) - jnp.asarray(A_free_b)
                 A_f = jnp.asarray(A_free_a + A_free_b)  # (n_free, P)
@@ -527,7 +525,7 @@ def make_step_fn(model: SceneModel):
             tau_contact = jnp.zeros(nq)
             f_free = jnp.zeros((n_free, 3))
             t_free = jnp.zeros((n_free, 3))
-            contact_lhs_robot = jnp.zeros((nq, nq))
+            contact_S_b = jnp.zeros((max(nq, 1), 6, 6))
             contact_lhs_free = jnp.zeros((n_free, 6, 6))
 
         # ---------------- robot dynamics ----------------
@@ -537,7 +535,9 @@ def make_step_fn(model: SceneModel):
             I_com_w = R @ robot_Icom @ R.swapaxes(-1, -2)
             I_sp = spatial_inertia_at_ref(robot_mass, com_w, I_com_w)  # (nb,6,6)
 
-            M = jnp.einsum("bik,bij,bjl->kl", J, I_sp, J)
+            # one contraction builds mass matrix AND the implicit contact
+            # coupling: M_aug = Σ_b J_bᵀ (I_b + h·S_b) J_b
+            M_aug = jnp.einsum("bik,bij,bjl->kl", J, I_sp + h * contact_S_b, J)
 
             # Coriolis bias a_bias = J̇ q̇, using the Featherstone identity
             # ṡ_j = v_{body(j)} ×̂ s_j (a joint's Plücker column is fixed in
@@ -580,7 +580,7 @@ def make_step_fn(model: SceneModel):
             # + the contact stiffness/damping coupling (all fold into the LHS
             # so stiff contacts and gains stay stable at any dt)
             diag = h * (kp * h + kd) + h * joint_damping
-            lhs = M + jnp.diag(diag) + contact_lhs_robot + 1e-6 * jnp.eye(nq)
+            lhs = M_aug + jnp.diag(diag) + 1e-6 * jnp.eye(nq)
             # unrolled static Cholesky: XLA's batched cholesky lowers to
             # column loops with dynamic slices (slow on TPU)
             qacc = solve_psd(lhs, rhs)
