@@ -147,64 +147,3 @@ def _fk_scan(spec: RobotSpec, base_pose: jnp.ndarray, qpos: jnp.ndarray):
 
     (pos, quat), axis_w = jax.lax.scan(body, (pos0, quat0), xs)
     return pos[1:], quat[1:], axis_w
-
-
-def _fk_mat_consts(spec: RobotSpec):
-    """Per-joint constants for the rotation-matrix FK:
-    R_joint-in-parent(q) = cos q * A + sin q * B + C  (Rodrigues with the
-    constant axis folded through the constant joint-frame rotation)."""
-    import numpy as _np
-
-    if getattr(spec, "_fk_mat_cache", None) is not None:
-        return spec._fk_mat_cache
-    from .urdf import _quat_to_mat
-
-    A, B, C, T, AXL = [], [], [], [], []
-    for i in range(spec.nb):
-        a = spec.axis[i]
-        R_off = _quat_to_mat(spec.joint_quat[i])
-        aaT = _np.outer(a, a)
-        ax = _np.array([[0, -a[2], a[1]], [a[2], 0, -a[0]], [-a[1], a[0], 0]])
-        A.append(R_off @ (_np.eye(3) - aaT))
-        B.append(R_off @ ax)
-        C.append(R_off @ aaT)
-        T.append(spec.joint_pos[i])
-        AXL.append(a)
-    cache = tuple(
-        _np.stack(x).astype(_np.float32) for x in (A, B, C, T, AXL)
-    )
-    object.__setattr__(spec, "_fk_mat_cache", cache)
-    return cache
-
-
-def fk_mats(spec: RobotSpec, base_pose: jnp.ndarray, qpos: jnp.ndarray):
-    """Matrix-form FK: returns (body_pos (nb,3), body_R (nb,3,3),
-    axis_w (nb,3)). One 3x3 matmul + one matvec per body — the fast path for
-    the physics substep on TPU."""
-    from ..math.rotations import quat_to_matrix
-
-    A, B, C, T, AX = _fk_mat_consts(spec)
-    base_p = base_pose[..., :3]
-    base_R = quat_to_matrix(base_pose[..., 3:7])
-    pos_list, R_list, axis_list = [], [], []
-    for i in range(spec.nb):
-        par = int(spec.parent[i])
-        pp = base_p if par < 0 else pos_list[par]
-        pR = base_R if par < 0 else R_list[par]
-        if int(spec.joint_type[i]) == JOINT_REVOLUTE:
-            c = jnp.cos(qpos[i])
-            s = jnp.sin(qpos[i])
-            M = c * jnp.asarray(A[i]) + s * jnp.asarray(B[i]) + jnp.asarray(C[i])
-            bp = pp + pR @ jnp.asarray(T[i])
-        else:  # prismatic: rotation constant, translate along the axis
-            M = jnp.asarray(A[i] + C[i])  # = R_off
-            bp = pp + pR @ (jnp.asarray(T[i])) + (pR @ (jnp.asarray(A[i] + C[i]) @ jnp.asarray(AX[i]))) * qpos[i]
-        bR = pR @ M
-        pos_list.append(bp)
-        R_list.append(bR)
-        axis_list.append(bR @ jnp.asarray(AX[i]))
-    return (
-        jnp.stack(pos_list, axis=-2),
-        jnp.stack(R_list, axis=-3),
-        jnp.stack(axis_list, axis=-2),
-    )

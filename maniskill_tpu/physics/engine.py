@@ -144,77 +144,68 @@ def _dyn_mass_of(model, g) -> float:
 
 def _geom_pose_tables(model: SceneModel):
     """Static per-geom tables for vectorized world-pose computation."""
-    from ..kinematics.urdf import _quat_to_mat
-
     G = len(model.geoms)
     offs_p = np.stack([g.offset_p for g in model.geoms]) if G else np.zeros((0, 3))
-    offs_R = (
-        np.stack([_quat_to_mat(g.offset_q) for g in model.geoms])
-        if G
-        else np.zeros((0, 3, 3))
-    )
+    offs_q = np.stack([g.offset_q for g in model.geoms]) if G else np.zeros((0, 4))
     by_kind = {k: [] for k in BodyKind}
     for i, g in enumerate(model.geoms):
         by_kind[g.kind].append(i)
-    return offs_p.astype(np.float32), offs_R.astype(np.float32), by_kind
+    return offs_p.astype(np.float32), offs_q.astype(np.float32), by_kind
 
 
-def all_geom_poses(model: SceneModel, state: SimState, body_pos, body_R):
-    """World poses of every geom as (G,3) positions and (G,3,3) rotations.
+def all_geom_poses(model: SceneModel, state: SimState, body_pos, body_quat):
+    """World poses of every geom as (G,3), (G,4) arrays.
 
     One static-gather + batched compose per body kind, then assembled back
     into geom order with static slices (scatter-free: dynamic-update-slice is
-    the slowest primitive on TPU). Matrix form: composing an orientation is
-    one batched 3x3 matmul."""
-    offs_p, offs_R, by_kind = model._geom_pose_cache
+    the slowest primitive on TPU)."""
+    offs_p, offs_q, by_kind = model._geom_pose_cache
     G = len(model.geoms)
     if G == 0:
-        return jnp.zeros((0, 3)), jnp.zeros((0, 3, 3))
-    parts = {}  # geom_idx -> (pos (3,), R (3,3))
+        return jnp.zeros((0, 3)), jnp.zeros((0, 4))
+    parts = {}  # geom_idx -> (pos (3,), quat (4,))
 
-    def place(idxs, parent_p, parent_R):
+    def place(idxs, parent_p, parent_q):
         if not idxs:
             return
         ii = np.asarray(idxs)
         op = jnp.asarray(offs_p[ii])
-        oR = jnp.asarray(offs_R[ii])
-        p = parent_p + jnp.einsum("gij,gj->gi", parent_R, op)
-        R = parent_R @ oR
+        oq = jnp.asarray(offs_q[ii])
+        p = parent_p + quat_apply(parent_q, op)
+        q = quat_mul(parent_q, oq)
         for pos_in_kind, gi in enumerate(idxs):
-            parts[gi] = (p[pos_in_kind], R[pos_in_kind])
+            parts[gi] = (p[pos_in_kind], q[pos_in_kind])
 
     rob = [i for i in by_kind[BodyKind.ROBOT_LINK] if model.geoms[i].body >= 0]
     if rob:
         bidx = np.asarray([model.geoms[i].body for i in rob])
-        place(rob, body_pos[bidx], body_R[bidx])
+        place(rob, body_pos[bidx], body_quat[bidx])
     rob_base = [i for i in by_kind[BodyKind.ROBOT_LINK] if model.geoms[i].body < 0]
     if rob_base:
         bp = jnp.asarray(model.robot_base_pose[:3])
-        bR = quat_to_matrix(jnp.asarray(model.robot_base_pose[3:7]))
+        bq = jnp.asarray(model.robot_base_pose[3:7])
         place(rob_base, jnp.broadcast_to(bp, (len(rob_base), 3)),
-              jnp.broadcast_to(bR, (len(rob_base), 3, 3)))
+              jnp.broadcast_to(bq, (len(rob_base), 4)))
     fr = by_kind[BodyKind.FREE]
     if fr:
         bidx = np.asarray([model.geoms[i].body for i in fr])
-        place(fr, state.free_pose[bidx, :3],
-              quat_to_matrix(state.free_pose[bidx, 3:7]))
+        place(fr, state.free_pose[bidx, :3], state.free_pose[bidx, 3:7])
     kin = by_kind[BodyKind.KINEMATIC]
     if kin:
         bidx = np.asarray([model.geoms[i].body for i in kin])
-        place(kin, state.kin_pose[bidx, :3],
-              quat_to_matrix(state.kin_pose[bidx, 3:7]))
+        place(kin, state.kin_pose[bidx, :3], state.kin_pose[bidx, 3:7])
     st = by_kind[BodyKind.STATIC]
     if st:
         sp = jnp.asarray(
             model.static_pose[np.asarray([model.geoms[i].body for i in st])]
         )
-        place(st, sp[:, :3], quat_to_matrix(sp[:, 3:7]))
+        place(st, sp[:, :3], sp[:, 3:7])
     gpos = jnp.stack([parts[i][0] for i in range(G)])
-    gR = jnp.stack([parts[i][1] for i in range(G)])
-    return gpos, gR
+    gquat = jnp.stack([parts[i][1] for i in range(G)])
+    return gpos, gquat
 
 
-def compute_contacts(model: SceneModel, state: SimState, body_pos, body_R):
+def compute_contacts(model: SceneModel, state: SimState, body_pos, body_quat):
     """Evaluate every static candidate pair; returns flat arrays over the
     fixed contact-point budget:
       pos (P,3), normal (P,3) [B→A], depth (P,), mu (P,), damping (P,), k (P,)
@@ -228,14 +219,14 @@ def compute_contacts(model: SceneModel, state: SimState, body_pos, body_R):
     if not hasattr(model, "_geom_pose_cache"):
         model._geom_pose_cache = _geom_pose_tables(model)
     gsize = np.stack([g.size for g in model.geoms]) if model.geoms else np.zeros((0, 3))
-    gpos, gR = all_geom_poses(model, state, body_pos, body_R)
+    gpos, gquat = all_geom_poses(model, state, body_pos, body_quat)
 
     pos_l, nrm_l, dep_l, mu_l, c_l, k_l = [], [], [], [], [], []
     meta_a, meta_b = [], []  # (kind, body) per point
     for (fn, npts, ia_arr, ib_arr, mu_arr) in model.pair_groups:
         n_pairs = len(ia_arr)
-        pa, qa = gpos[ia_arr], gR[ia_arr]
-        pb, qb = gpos[ib_arr], gR[ib_arr]
+        pa, qa = gpos[ia_arr], gquat[ia_arr]
+        pb, qb = gpos[ib_arr], gquat[ib_arr]
         sa = jnp.asarray(gsize[ia_arr])
         sb = jnp.asarray(gsize[ib_arr])
         c = jax.vmap(fn)(pa, qa, sa, pb, qb, sb)  # (n_pairs, npts, ...)
@@ -310,7 +301,7 @@ def point_forces(
     model: SceneModel,
     state: SimState,
     body_pos,
-    body_R,
+    body_quat,
     v_body,
     tables,
 ):
@@ -326,7 +317,7 @@ def point_forces(
     nq, n_free = model.nq, model.n_free
     ref = jnp.asarray(model.robot_base_pose[:3]) if model.robot else jnp.zeros(3)
     (cpos, cnrm, cdep, cmu, cdamp, ck, _, _) = compute_contacts(
-        model, state, body_pos, body_R
+        model, state, body_pos, body_quat
     )
     P = cpos.shape[0]
     if P == 0:
@@ -376,21 +367,20 @@ def make_force_query(model: SceneModel):
     tables = _assignment_tables(model)
 
     def query(state: SimState, fk=None):
-        """fk: optional precomputed (body_pos, body_quat(wxyz), axis_w)."""
+        """fk: optional precomputed (body_pos, body_quat, axis_w)."""
         if model.nq > 0:
             body_pos, body_quat, axis_w = (
                 fk if fk is not None else robot_fk(model, state.qpos)
             )
-            body_R = quat_to_matrix(body_quat)
             ref = jnp.asarray(model.robot_base_pose[:3])
             cols = joint_columns(model, body_pos, axis_w, ref)
             J = joint_columns_to_jacobian(model, cols)
             v_body = J @ state.qvel
         else:
             body_pos = jnp.zeros((0, 3))
-            body_R = jnp.zeros((0, 3, 3))
+            body_quat = jnp.zeros((0, 4))
             v_body = jnp.zeros((0, 6))
-        return point_forces(model, state, body_pos, body_R, v_body, tables)
+        return point_forces(model, state, body_pos, body_quat, v_body, tables)
 
     return query
 
@@ -445,30 +435,26 @@ def make_step_fn(model: SceneModel):
     ref = jnp.asarray(model.robot_base_pose[:3]) if spec else jnp.zeros(3)
 
     def jac_at(qpos):
-        from ..kinematics import chain
-
         if nq == 0:
             z = jnp.zeros((0, 3))
             return (
                 jnp.zeros((0, 6, 0)),
                 jnp.zeros((0, 6)),
-                (z, jnp.zeros((0, 3, 3)), z),
+                (z, jnp.zeros((0, 4)), z),
             )
-        body_pos, body_R, axis_w = chain.fk_mats(
-            model.robot, jnp.asarray(model.robot_base_pose), qpos
-        )
+        body_pos, body_quat, axis_w = robot_fk(model, qpos)
         cols = joint_columns(model, body_pos, axis_w, ref)
         J = joint_columns_to_jacobian(model, cols)
-        return J, cols, (body_pos, body_R, axis_w)
+        return J, cols, (body_pos, body_quat, axis_w)
 
     def substep(state: SimState, cmd: DriveCmd) -> SimState:
         # ---------------- robot kinematics ----------------
-        J, cols, (body_pos, body_R, axis_w) = jac_at(state.qpos)
+        J, cols, (body_pos, body_quat, axis_w) = jac_at(state.qpos)
         v_body = J @ state.qvel  # (nb, 6) spatial velocities at ref
 
         # ---------------- contacts ----------------
         f_pt, (cpos, cnrm, cdep, d_n, d_t) = point_forces(
-            model, state, body_pos, body_R, v_body, tables
+            model, state, body_pos, body_quat, v_body, tables
         )
         P = f_pt.shape[0]
         # contact_lhs_robot: (nq, nq) implicit contact stiffness/damping term;
@@ -544,10 +530,9 @@ def make_step_fn(model: SceneModel):
 
         # ---------------- robot dynamics ----------------
         if nq > 0:
-            com_w = body_pos + jnp.einsum(
-                "bij,bj->bi", body_R, robot_com
-            ) - ref
-            I_com_w = body_R @ robot_Icom @ body_R.swapaxes(-1, -2)
+            com_w = body_pos + quat_apply(body_quat, robot_com) - ref
+            R = quat_to_matrix(body_quat)
+            I_com_w = R @ robot_Icom @ R.swapaxes(-1, -2)
             I_sp = spatial_inertia_at_ref(robot_mass, com_w, I_com_w)  # (nb,6,6)
 
             # one contraction builds mass matrix AND the implicit contact
@@ -661,13 +646,8 @@ def _trace_metadata(model: SceneModel):
     metadata (assignment tables) without tracing."""
     state = model.initial_state()
     if model.robot is not None:
-        from ..kinematics import chain
-
-        body_pos, body_R, _ = chain.fk_mats(
-            model.robot, jnp.asarray(model.robot_base_pose),
-            jnp.asarray(model.init_qpos),
-        )
+        body_pos, body_quat, _ = robot_fk(model, jnp.asarray(model.init_qpos))
     else:
         body_pos = jnp.zeros((0, 3))
-        body_R = jnp.zeros((0, 3, 3))
-    return compute_contacts(model, state, body_pos, body_R)
+        body_quat = jnp.zeros((0, 4))
+    return compute_contacts(model, state, body_pos, body_quat)

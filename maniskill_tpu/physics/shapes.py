@@ -7,11 +7,6 @@ by ``depth <= 0``. This keeps the whole contact pipeline shape-static so XLA
 can fuse and batch it; there is no dynamic contact buffer to overflow (the
 reference's GPUMemoryConfig knobs become unnecessary).
 
-Geometry orientations are passed as 3x3 ROTATION MATRICES (not quaternions):
-rotating a point is then a single fused matvec and frame axes are plain matrix
-columns — measurably faster on TPU than quaternion sandwiches, and the engine
-FK produces matrices natively.
-
 All functions operate on a single environment instance (poses are unbatched);
 the physics step vmaps over the env/rollout batch dimension.
 
@@ -28,6 +23,8 @@ from typing import NamedTuple, Tuple
 
 import jax.numpy as jnp
 import numpy as np
+
+from ..math.rotations import quat_apply, quat_conjugate, quat_to_matrix
 
 
 class GeomType(IntEnum):
@@ -50,14 +47,14 @@ _BOX_CORNERS = np.array(
 )
 
 
-def _box_corners(pos, R, half):
+def _box_corners(pos, quat, half):
     corners = jnp.asarray(_BOX_CORNERS) * half  # (8, 3)
-    return pos + corners @ R.T
+    return pos + quat_apply(quat[None], corners)
 
 
-def plane_sphere(pa, Ra, sa, pb, Rb, sb) -> ContactPoints:
+def plane_sphere(pa, qa, sa, pb, qb, sb) -> ContactPoints:
     """A = plane, B = sphere."""
-    n = Ra[:, 2]
+    n = quat_apply(qa, jnp.array([0.0, 0.0, 1.0]))
     r = sb[0]
     dist = jnp.dot(pb - pa, n) - r
     pos = pb - n * (r + 0.5 * dist)
@@ -65,17 +62,17 @@ def plane_sphere(pa, Ra, sa, pb, Rb, sb) -> ContactPoints:
     return ContactPoints(pos[None], -n[None], (-dist)[None])
 
 
-def plane_box(pa, Ra, sa, pb, Rb, sb) -> ContactPoints:
+def plane_box(pa, qa, sa, pb, qb, sb) -> ContactPoints:
     """A = plane, B = box: test all 8 corners."""
-    n = Ra[:, 2]
-    corners = _box_corners(pb, Rb, sb)  # (8, 3)
+    n = quat_apply(qa, jnp.array([0.0, 0.0, 1.0]))
+    corners = _box_corners(pb, qb, sb)  # (8, 3)
     dist = (corners - pa) @ n  # (8,)
     return ContactPoints(corners, jnp.broadcast_to(-n, (8, 3)), -dist)
 
 
-def plane_capsule(pa, Ra, sa, pb, Rb, sb) -> ContactPoints:
-    n = Ra[:, 2]
-    axis = Rb[:, 2]
+def plane_capsule(pa, qa, sa, pb, qb, sb) -> ContactPoints:
+    n = quat_apply(qa, jnp.array([0.0, 0.0, 1.0]))
+    axis = quat_apply(qb, jnp.array([0.0, 0.0, 1.0]))
     r, hl = sb[0], sb[1]
     ends = pb + axis * jnp.array([[-hl], [hl]])  # (2, 3)
     dist = (ends - pa) @ n - r
@@ -83,7 +80,7 @@ def plane_capsule(pa, Ra, sa, pb, Rb, sb) -> ContactPoints:
     return ContactPoints(pos, jnp.broadcast_to(-n, (2, 3)), -dist)
 
 
-def sphere_sphere(pa, Ra, sa, pb, Rb, sb) -> ContactPoints:
+def sphere_sphere(pa, qa, sa, pb, qb, sb) -> ContactPoints:
     d = pa - pb
     dist = jnp.sqrt(jnp.sum(d * d) + 1e-18)
     n = d / dist
@@ -116,57 +113,46 @@ def _point_box_sdf(p_local: jnp.ndarray, half: jnp.ndarray):
     return sdf, n
 
 
-def sphere_box(pa, Ra, sa, pb, Rb, sb) -> ContactPoints:
+def sphere_box(pa, qa, sa, pb, qb, sb) -> ContactPoints:
     """A = sphere, B = box."""
     r = sa[0]
-    p_local = (pa - pb) @ Rb
+    p_local = quat_apply(quat_conjugate(qb), pa - pb)
     sdf, n_local = _point_box_sdf(p_local, sb)
-    n = Rb @ n_local  # outward from box => B->A direction
+    n = quat_apply(qb, n_local)  # outward from box => B->A direction
     depth = r - sdf
     pos = pa - n * (r - 0.5 * depth)
     return ContactPoints(pos[None], n[None], depth[None])
 
 
-def box_sphere(pa, Ra, sa, pb, Rb, sb) -> ContactPoints:
-    c = sphere_box(pb, Rb, sb, pa, Ra, sa)
+def box_sphere(pa, qa, sa, pb, qb, sb) -> ContactPoints:
+    c = sphere_box(pb, qb, sb, pa, qa, sa)
     return ContactPoints(c.pos, -c.normal, c.depth)
 
 
-def box_box(pa, Ra, sa, pb, Rb, sb) -> ContactPoints:
+def box_box(pa, qa, sa, pb, qb, sb) -> ContactPoints:
     """Vertex-SDF box-box: corners of A against B and corners of B against A.
     16 candidate points. Face-face contact manifolds emerge from the corner
     sets; edge-edge crossing contacts are approximated (adequate for the
     tabletop task geometries, cf. reference PhysX PCM which also point-samples
     patches)."""
     # corners of A inside B
-    ca = _box_corners(pa, Ra, sa)  # (8,3)
-    ca_local = (ca - pb) @ Rb
+    ca = _box_corners(pa, qa, sa)  # (8,3)
+    ca_local = quat_apply(quat_conjugate(qb)[None], ca - pb)
     sdf_a, n_a_local = _point_box_sdf(ca_local, sb)
-    n_a = n_a_local @ Rb.T  # B -> A
+    n_a = quat_apply(qb[None], n_a_local)  # B -> A
     # corners of B inside A
-    cb = _box_corners(pb, Rb, sb)
-    cb_local = (cb - pa) @ Ra
+    cb = _box_corners(pb, qb, sb)
+    cb_local = quat_apply(quat_conjugate(qa)[None], cb - pa)
     sdf_b, n_b_local = _point_box_sdf(cb_local, sa)
-    n_b = -(n_b_local @ Ra.T)  # outward from A, flip to B->A
+    n_b = -quat_apply(qa[None], n_b_local)  # outward from A, flip to B->A
     pos = jnp.concatenate([ca, cb], axis=0)
     normal = jnp.concatenate([n_a, n_b], axis=0)
     depth = jnp.concatenate([-sdf_a, -sdf_b], axis=0)
     return ContactPoints(pos, normal, depth)
 
 
-def box_box_onesided(pa, Ra, sa, pb, Rb, sb) -> ContactPoints:
-    """Corners of box A against box B only (8 points). Used when B is a
-    large static body (e.g. the tabletop): B's corners can never be inside A,
-    so the symmetric 16-point test wastes half the contact budget."""
-    ca = _box_corners(pa, Ra, sa)  # (8,3)
-    ca_local = (ca - pb) @ Rb
-    sdf_a, n_a_local = _point_box_sdf(ca_local, sb)
-    n_a = n_a_local @ Rb.T  # B -> A
-    return ContactPoints(ca, n_a, -sdf_a)
-
-
-def sphere_capsule(pa, Ra, sa, pb, Rb, sb) -> ContactPoints:
-    axis = Rb[:, 2]
+def sphere_capsule(pa, qa, sa, pb, qb, sb) -> ContactPoints:
+    axis = quat_apply(qb, jnp.array([0.0, 0.0, 1.0]))
     t = jnp.clip(jnp.dot(pa - pb, axis), -sb[1], sb[1])
     closest = pb + axis * t
     d = pa - closest
@@ -177,23 +163,23 @@ def sphere_capsule(pa, Ra, sa, pb, Rb, sb) -> ContactPoints:
     return ContactPoints(pos[None], n[None], depth[None])
 
 
-def capsule_box(pa, Ra, sa, pb, Rb, sb) -> ContactPoints:
+def capsule_box(pa, qa, sa, pb, qb, sb) -> ContactPoints:
     """Sample 3 spheres along the capsule axis against the box."""
-    axis = Ra[:, 2]
+    axis = quat_apply(qa, jnp.array([0.0, 0.0, 1.0]))
     r, hl = sa[0], sa[1]
     centers = pa + axis * jnp.array([[-hl], [0.0], [hl]])  # (3,3)
-    p_local = (centers - pb) @ Rb
+    p_local = quat_apply(quat_conjugate(qb)[None], centers - pb)
     sdf, n_local = _point_box_sdf(p_local, sb)
-    n = n_local @ Rb.T
+    n = quat_apply(qb[None], n_local)
     depth = r - sdf
     pos = centers - n * (r - 0.5 * depth)[:, None]
     return ContactPoints(pos, n, depth)
 
 
-def capsule_capsule(pa, Ra, sa, pb, Rb, sb) -> ContactPoints:
+def capsule_capsule(pa, qa, sa, pb, qb, sb) -> ContactPoints:
     """Closest points between the two capsule segments."""
-    ua = Ra[:, 2]
-    ub = Rb[:, 2]
+    ua = quat_apply(qa, jnp.array([0.0, 0.0, 1.0]))
+    ub = quat_apply(qb, jnp.array([0.0, 0.0, 1.0]))
     ra, ha = sa[0], sa[1]
     rb, hb = sb[0], sb[1]
     # segment-segment closest point (clamped)
@@ -215,6 +201,17 @@ def capsule_capsule(pa, Ra, sa, pb, Rb, sb) -> ContactPoints:
     depth = ra + rb - dist
     pos = cb + n * (rb - 0.5 * depth)
     return ContactPoints(pos[None], n[None], depth[None])
+
+
+def box_box_onesided(pa, qa, sa, pb, qb, sb) -> ContactPoints:
+    """Corners of box A against box B only (8 points). Used when B is a
+    large static body (e.g. the tabletop): B's corners can never be inside A,
+    so the symmetric 16-point test wastes half the contact budget."""
+    ca = _box_corners(pa, qa, sa)  # (8,3)
+    ca_local = quat_apply(quat_conjugate(qb)[None], ca - pb)
+    sdf_a, n_a_local = _point_box_sdf(ca_local, sb)
+    n_a = quat_apply(qb[None], n_a_local)  # B -> A
+    return ContactPoints(ca, n_a, -sdf_a)
 
 
 # Dispatch table: (type_a, type_b) -> (fn, n_points). Pairs are canonically
