@@ -251,6 +251,12 @@ class BaseEnv:
         """Zero-valued extras pytree (so reset/step have matching structure)."""
         return {}
 
+    def _update_extras(self, state: EnvState, ctx: "TaskContext") -> EnvState:
+        """Per-step task bookkeeping (accumulators etc.) before evaluate
+        (reference analogue: stateful task attributes like
+        ``cum_rotation_angle``, rotate_single_object_in_hand.py)."""
+        return state
+
     def _step_one(self, state: EnvState, action) -> Tuple[EnvState, Any, Any, Any, Dict]:
         action = jnp.nan_to_num(jnp.asarray(action, jnp.float32))
         ctx0 = TaskContext(self, state)
@@ -268,6 +274,7 @@ class BaseEnv:
             sim=sim, cmd=cmd, elapsed_steps=state.elapsed_steps + 1
         )
         ctx = TaskContext(self, state)
+        state = self._update_extras(state, ctx)
         info = self.evaluate(state, ctx)
         obs = self._get_obs(state, ctx, info)
         reward = self._get_reward(state, action, info, ctx)
