@@ -117,7 +117,9 @@ class BaseEnv:
     """
 
     SUPPORTED_ROBOTS = ["panda"]
-    SUPPORTED_OBS_MODES = ("state", "state_dict", "none")
+    SUPPORTED_OBS_MODES = (
+        "state", "state_dict", "none", "depth", "pointcloud", "sensor_data"
+    )
     SUPPORTED_REWARD_MODES = ("normalized_dense", "dense", "sparse", "none")
     DEFAULT_ROBOT = "panda"
     # reference SimConfig defaults: sim_freq=100, control_freq=20 (types.py:82)
@@ -156,6 +158,12 @@ class BaseEnv:
         self._load_scene(builder)
         self.model: SceneModel = builder.build()
         self._physics_step = make_step_fn(self.model)
+        self._sensors = {}
+        if self.obs_mode in ("depth", "pointcloud", "sensor_data"):
+            from ..sensors.camera import Camera
+
+            for cfg in self._default_sensor_configs():
+                self._sensors[cfg.uid] = Camera(cfg, self.model)
         self._post_build()
 
         # action space (flat Box like reference CombinedController)
@@ -184,6 +192,11 @@ class BaseEnv:
 
     def _post_build(self):
         """Hook after the SceneModel exists (build contact queries etc.)."""
+
+    def _default_sensor_configs(self):
+        """Camera configs for visual obs modes (reference
+        _default_sensor_configs, sapien_env.py:371). Tasks override."""
+        return []
 
     def _initialize_episode(self, state: EnvState, key) -> EnvState:
         """Pure per-env episode randomization; return updated state."""
@@ -322,6 +335,29 @@ class BaseEnv:
         extra = self._get_obs_extra(state, ctx, info)
         obs = dict(agent=agent_obs, extra=extra)
         if self.obs_mode == "state_dict":
+            return obs
+        if self.obs_mode in ("depth", "pointcloud", "sensor_data"):
+            sensor_data = {
+                uid: cam.render(state.sim, ctx.body_pos, ctx.body_quat)
+                for uid, cam in self._sensors.items()
+            }
+            if self.obs_mode == "depth":
+                obs["sensor_data"] = {
+                    uid: dict(depth=d["depth"], segmentation=d["segmentation"])
+                    for uid, d in sensor_data.items()
+                }
+            elif self.obs_mode == "pointcloud":
+                # merged world-frame pointcloud + per-point segmentation
+                # (reference sensor_data_to_pointcloud, observations.py:17)
+                xyz = jnp.concatenate(
+                    [d["position"].reshape(-1, 3) for d in sensor_data.values()]
+                )
+                seg = jnp.concatenate(
+                    [d["segmentation"].reshape(-1) for d in sensor_data.values()]
+                )
+                obs["pointcloud"] = dict(xyzw=xyz, segmentation=seg)
+            else:
+                obs["sensor_data"] = sensor_data
             return obs
         # "state": deterministic ordered flattening (reference
         # common.py:flatten_state_dict contract — insertion order)

@@ -30,6 +30,17 @@ class PickCubeEnv(BaseEnv):
     cube_half_size = 0.02
     goal_thresh = 0.025
 
+    def _default_sensor_configs(self):
+        from ...math.pose import look_at
+        from ...sensors.camera import CameraConfig
+        import numpy as _np
+
+        pose = look_at(eye=[0.3, 0, 0.6], target=[-0.1, 0, 0.1])
+        return [
+            CameraConfig("base_camera", _np.asarray(pose.raw), 128, 128,
+                         _np.pi / 2, 0.01, 100)
+        ]
+
     def _load_agent(self, builder: SceneSpecBuilder):
         self.table_scene = TableSceneBuilder(self)
         pose, qpos = self.table_scene.robot_pose_and_qpos(self.robot_uids)

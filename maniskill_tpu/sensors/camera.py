@@ -1,0 +1,187 @@
+"""Analytic depth/segmentation camera.
+
+TPU-native replacement for the reference camera sensor stack
+(``mani_skill/sensors/camera.py`` + the SAPIEN Vulkan renderer, SURVEY.md
+§2.6): instead of rasterizing meshes, depth is computed by closed-form
+ray/primitive intersection against the scene's collision geoms (plane,
+sphere, box, capsule) — fully vectorized over pixels × geoms, jittable,
+batched over envs with vmap. Supports the reference data conventions:
+depth in millimeters as int16 (camera.py:205-212), segmentation as int16
+per-geom ids, pointcloud in the world frame (observations.py:17).
+
+Not a photorealistic renderer (deliberate, SURVEY.md §7.4) — it provides the
+geometry channels (depth/segmentation/position) that state-free pipelines
+and the reference's ``minimal`` shader pack expose.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..math.pose import Pose, look_at
+from ..math.rotations import quat_apply, quat_conjugate, quat_to_matrix
+from ..physics.engine import all_geom_poses
+from ..physics.model import SceneModel
+from ..physics.shapes import GeomType
+
+
+@dataclass
+class CameraConfig:
+    """Mirrors the reference CameraConfig (camera.py:32): uid, pose, width,
+    height, fov (vertical), near, far. Mounting to robot links lands with the
+    wrist-cam support."""
+
+    uid: str
+    pose: np.ndarray  # (7,) [p, q] world pose; +x forward, +z up (SAPIEN/ROS)
+    width: int = 128
+    height: int = 128
+    fov: float = np.pi / 2
+    near: float = 0.01
+    far: float = 100.0
+
+
+def _ray_dirs(cfg: CameraConfig) -> np.ndarray:
+    """Per-pixel unit ray directions in the camera frame (+x forward,
+    +y left, +z up — the SAPIEN ROS-style camera frame)."""
+    H, W = cfg.height, cfg.width
+    f = 0.5 * H / np.tan(cfg.fov / 2)
+    rows = np.arange(H)[:, None]  # i: 0 = top
+    cols = np.arange(W)[None, :]  # j: 0 = left
+    y = ((W - 1) / 2 - cols) / f  # +y = left
+    z = ((H - 1) / 2 - rows) / f  # +z = up
+    dirs = np.stack(
+        [np.ones((H, W)), np.broadcast_to(y, (H, W)), np.broadcast_to(z, (H, W))],
+        axis=-1,
+    )
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    return dirs.reshape(-1, 3).astype(np.float32)  # (H*W, 3)
+
+
+def _ray_plane(o, d, eps=1e-9):
+    """Rays vs the z=0 halfspace boundary in geom frame. Returns t (N,)."""
+    t = -o[:, 2] / jnp.where(jnp.abs(d[:, 2]) < eps, eps, d[:, 2])
+    return jnp.where(t > 0, t, jnp.inf)
+
+
+def _ray_sphere(o, d, r):
+    b = jnp.sum(o * d, axis=-1)
+    c = jnp.sum(o * o, axis=-1) - r * r
+    disc = b * b - c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t0 = -b - sq
+    t1 = -b + sq
+    t = jnp.where(t0 > 0, t0, t1)
+    return jnp.where((disc >= 0) & (t > 0), t, jnp.inf)
+
+
+def _ray_box(o, d, half, eps=1e-9):
+    inv = 1.0 / jnp.where(jnp.abs(d) < eps, eps, d)
+    t1 = (-half - o) * inv
+    t2 = (half - o) * inv
+    tmin = jnp.max(jnp.minimum(t1, t2), axis=-1)
+    tmax = jnp.min(jnp.maximum(t1, t2), axis=-1)
+    hit = (tmax >= jnp.maximum(tmin, 0.0))
+    t = jnp.where(tmin > 0, tmin, tmax)
+    return jnp.where(hit & (t > 0), t, jnp.inf)
+
+
+def _ray_capsule(o, d, r, hl):
+    """Rays vs capsule along z in geom frame: infinite-cylinder hit clamped to
+    the segment + two sphere caps."""
+    ox, oy = o[:, 0], o[:, 1]
+    dx, dy = d[:, 0], d[:, 1]
+    a = dx * dx + dy * dy
+    b = ox * dx + oy * dy
+    c = ox * ox + oy * oy - r * r
+    disc = b * b - a * c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    a_safe = jnp.where(a < 1e-9, 1e-9, a)
+    t_cyl = (-b - sq) / a_safe
+    z_hit = o[:, 2] + t_cyl * d[:, 2]
+    cyl_ok = (disc >= 0) & (t_cyl > 0) & (jnp.abs(z_hit) <= hl)
+    t_cyl = jnp.where(cyl_ok, t_cyl, jnp.inf)
+    t_top = _ray_sphere(o - jnp.array([0.0, 0, 1.0]) * hl, d, r)
+    t_bot = _ray_sphere(o + jnp.array([0.0, 0, 1.0]) * hl, d, r)
+    return jnp.minimum(t_cyl, jnp.minimum(t_top, t_bot))
+
+
+class Camera:
+    """Depth/segmentation/pointcloud sensor over a SceneModel's geoms
+    (reference Camera.get_obs, camera.py:191)."""
+
+    def __init__(self, cfg: CameraConfig, model: SceneModel):
+        self.cfg = cfg
+        self.model = model
+        self._dirs = _ray_dirs(cfg)  # (N, 3) camera frame
+        pose = np.asarray(cfg.pose, np.float32)
+        self._cam_p = pose[:3]
+        self._cam_q = pose[3:7]
+
+    def render(self, state, body_pos, body_quat):
+        """Single-env render. Returns dict with depth (H, W) float32 meters,
+        segmentation (H, W) int16 geom id + 1 (0 = background), position
+        (H, W, 3) world-frame points (inf where no hit)."""
+        model = self.model
+        cam_p = jnp.asarray(self._cam_p)
+        cam_q = jnp.asarray(self._cam_q)
+        dirs_w = quat_apply(cam_q[None], jnp.asarray(self._dirs))  # (N,3)
+        N = dirs_w.shape[0]
+
+        gpos, gquat = all_geom_poses(model, state, body_pos, body_quat)
+        ts = []
+        for gi, g in enumerate(model.geoms):
+            gq = gquat[gi]
+            gp = gpos[gi]
+            o = quat_apply(quat_conjugate(gq)[None], cam_p[None] - gp[None])
+            o = jnp.broadcast_to(o, (N, 3))
+            d = quat_apply(quat_conjugate(gq)[None], dirs_w)
+            size = jnp.asarray(g.size)
+            if g.gtype == GeomType.PLANE:
+                t = _ray_plane(o, d)
+            elif g.gtype == GeomType.SPHERE:
+                t = _ray_sphere(o, d, size[0])
+            elif g.gtype == GeomType.BOX:
+                t = _ray_box(o, d, size)
+            elif g.gtype in (GeomType.CAPSULE, GeomType.CYLINDER):
+                t = _ray_capsule(o, d, size[0], size[1])
+            else:
+                t = jnp.full(N, jnp.inf)
+            ts.append(t)
+        T = jnp.stack(ts, axis=0)  # (G, N)
+        t_hit = jnp.min(T, axis=0)
+        seg = jnp.where(
+            jnp.isfinite(t_hit), jnp.argmin(T, axis=0) + 1, 0
+        ).astype(jnp.int16)
+        cfg = self.cfg
+        # clip to the near/far frustum like the renderer would
+        t_hit = jnp.where(
+            (t_hit >= cfg.near) & (t_hit <= cfg.far), t_hit, jnp.inf
+        )
+        pts = cam_p[None] + dirs_w * t_hit[:, None]
+        # depth = distance along the camera forward axis (z-buffer style)
+        fwd = quat_apply(cam_q, jnp.array([1.0, 0.0, 0.0]))
+        depth = t_hit * (dirs_w @ fwd)
+        H, W = cfg.height, cfg.width
+        return dict(
+            depth=depth.reshape(H, W),
+            segmentation=seg.reshape(H, W),
+            position=pts.reshape(H, W, 3),
+        )
+
+    def get_params(self):
+        """Intrinsics/extrinsics (reference Camera.get_params, camera.py:281)."""
+        cfg = self.cfg
+        f = 0.5 * cfg.height / np.tan(cfg.fov / 2)
+        K = np.array(
+            [[f, 0, (cfg.width - 1) / 2], [0, f, (cfg.height - 1) / 2], [0, 0, 1]],
+            np.float32,
+        )
+        return dict(
+            intrinsic_cv=K,
+            cam2world=Pose(jnp.asarray(self._cam_p), jnp.asarray(self._cam_q))
+            .to_matrix(),
+        )
