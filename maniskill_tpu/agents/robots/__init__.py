@@ -2,3 +2,4 @@ from .panda import Panda, PandaWristCam  # noqa: F401
 from .cartpole import CartPoleRobot  # noqa: F401
 from .fetch import Fetch  # noqa: F401
 from .trifinger import TriFingerPro  # noqa: F401
+from .panda_stick import PandaStick  # noqa: F401
