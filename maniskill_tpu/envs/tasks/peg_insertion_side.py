@@ -6,10 +6,11 @@ on the table and insert it sideways into a box with a hole. Same pose
 randomizations, success condition (peg head inside the hole past half depth,
 :269-288), and 4-stage dense reward (:300-355).
 
-v1 restriction: peg/box dimensions are fixed at their nominal values
-(length 0.105, radius 0.02, clearance 3 mm, centered hole) — the reference
-randomizes them per sub-scene at reconfigure time; per-env geometry lands
-with the heterogeneous-batch support (sizes-as-state).
+Heterogeneous batches: the peg's half-length/radius are randomized PER
+EPISODE and PER ENV through ``SimState.geom_size`` (sizes-as-state — the
+TPU-native form of the reference's per-sub-scene reconfiguration,
+:97-136). The hole is built at the maximum radius + clearance, so the
+effective clearance varies with the sampled peg radius.
 """
 from __future__ import annotations
 
@@ -31,8 +32,10 @@ class PegInsertionSideEnv(BaseEnv):
     SUPPORTED_ROBOTS = ["panda", "panda_wristcam"]
     DEFAULT_ROBOT = "panda_wristcam"
 
-    peg_half_length = 0.105  # mid of reference U(0.085, 0.125)
-    peg_radius = 0.02  # mid of reference U(0.015, 0.025)
+    peg_len_range = (0.085, 0.125)  # reference :97
+    peg_radius_range = (0.015, 0.025)  # reference :98
+    peg_half_length = 0.105  # nominal (hole depth / spawn defaults)
+    peg_radius = 0.025  # max radius sizes the hole
     _clearance = 0.003
 
     def _load_agent(self, builder: SceneSpecBuilder):
@@ -72,8 +75,18 @@ class PegInsertionSideEnv(BaseEnv):
             self.model, "peg", max_angle=20
         )
 
+    def _default_extras(self):
+        return dict(peg_half_size=jnp.zeros(3))
+
     def _initialize_episode(self, state: EnvState, key) -> EnvState:
-        ks = jax.random.split(key, 4)
+        ks = jax.random.split(key, 6)
+        # per-env peg dimensions via sizes-as-state
+        L = jax.random.uniform(ks[4], (), minval=self.peg_len_range[0],
+                               maxval=self.peg_len_range[1])
+        r = jax.random.uniform(ks[5], (), minval=self.peg_radius_range[0],
+                               maxval=self.peg_radius_range[1])
+        peg_size = jnp.stack([L, r, r])
+        gidx = self.model.geom_indices("peg")[0]
         up = jnp.array([0.0, 0.0, 1.0])
         # peg flat on table, yaw in pi/2 +- pi/3 (reference :199-208)
         peg_xy = jax.random.uniform(
@@ -83,7 +96,7 @@ class PegInsertionSideEnv(BaseEnv):
             ks[1], (), minval=-jnp.pi / 3, maxval=jnp.pi / 3
         )
         peg_pose = jnp.concatenate(
-            [peg_xy, jnp.array([self.peg_radius]), quat_from_axis_angle(up, peg_yaw)]
+            [peg_xy, r[None], quat_from_axis_angle(up, peg_yaw)]
         )
         # box on the far side, yaw in pi/2 +- pi/8 (reference :210-221)
         box_xy = jax.random.uniform(
@@ -100,13 +113,15 @@ class PegInsertionSideEnv(BaseEnv):
             free_pose=state.sim.free_pose.at[self.peg].set(peg_pose),
             free_vel=jnp.zeros_like(state.sim.free_vel),
             kin_pose=state.sim.kin_pose.at[self.box].set(box_pose),
+            geom_size=state.sim.geom_size.at[gidx].set(peg_size),
         )
-        return state.replace(sim=sim)
+        return state.replace(sim=sim, extras=dict(peg_half_size=peg_size))
 
     # -- geometry helpers (reference :249-267) -----------------------------
     def _peg_head_pose(self, ctx) -> Pose:
+        L = ctx.state.extras["peg_half_size"][0]
         return ctx.actor_pose("peg") * Pose.create(
-            p=jnp.array([self.peg_half_length, 0, 0])
+            p=jnp.stack([L, jnp.zeros(()), jnp.zeros(())])
         )
 
     def _box_hole_pose(self, ctx) -> Pose:
@@ -132,9 +147,7 @@ class PegInsertionSideEnv(BaseEnv):
         if "state" in self.obs_mode:
             obs.update(
                 peg_pose=ctx.actor_pose("peg").raw,
-                peg_half_size=jnp.array(
-                    [self.peg_half_length, self.peg_radius, self.peg_radius]
-                ),
+                peg_half_size=state.extras["peg_half_size"],
                 box_hole_pose=self._box_hole_pose(ctx).raw,
                 box_hole_radius=jnp.array([self.box_hole_radius]),
             )

@@ -20,7 +20,6 @@ the env layer vmaps over the batch dimension and pjit-shards it across chips.
 """
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax
@@ -30,13 +29,11 @@ import numpy as np
 from ..math.rotations import (
     quat_apply,
     quat_exp,
-    quat_from_axis_angle,
     quat_mul,
     quat_normalize,
     quat_to_matrix,
 )
 from .model import BodyKind, DriveCmd, SceneModel, SimState
-from .shapes import GeomType
 from .linalg import solve_psd
 from .spatial import (
     force_cross,
@@ -44,7 +41,7 @@ from .spatial import (
     point_force_to_wrench,
     spatial_inertia_at_ref,
 )
-from ..kinematics.urdf import JOINT_PRISMATIC, JOINT_REVOLUTE
+from ..kinematics.urdf import JOINT_REVOLUTE
 
 
 # ---------------------------------------------------------------------------
@@ -111,25 +108,6 @@ def robot_frame_pose(model: SceneModel, body_pos, body_quat, frame_name: str):
 # ---------------------------------------------------------------------------
 # Geometry world poses + contact assembly
 # ---------------------------------------------------------------------------
-
-
-def _geom_world_pose(model, g, body_pos, body_quat, state: SimState):
-    off_p = jnp.asarray(g.offset_p)
-    off_q = jnp.asarray(g.offset_q)
-    if g.kind == BodyKind.ROBOT_LINK:
-        if g.body < 0:
-            bp = jnp.asarray(model.robot_base_pose[:3])
-            bq = jnp.asarray(model.robot_base_pose[3:7])
-        else:
-            bp, bq = body_pos[g.body], body_quat[g.body]
-    elif g.kind == BodyKind.FREE:
-        bp, bq = state.free_pose[g.body, :3], state.free_pose[g.body, 3:7]
-    elif g.kind == BodyKind.KINEMATIC:
-        bp, bq = state.kin_pose[g.body, :3], state.kin_pose[g.body, 3:7]
-    else:  # STATIC
-        sp = jnp.asarray(model.static_pose[g.body])
-        bp, bq = sp[:3], sp[3:7]
-    return bp + quat_apply(bq, off_p), quat_mul(bq, off_q)
 
 
 def _dyn_mass_of(model, g) -> float:
@@ -218,7 +196,7 @@ def compute_contacts(model: SceneModel, state: SimState, body_pos, body_quat):
     k = params.contact_stiffness
     if not hasattr(model, "_geom_pose_cache"):
         model._geom_pose_cache = _geom_pose_tables(model)
-    gsize = np.stack([g.size for g in model.geoms]) if model.geoms else np.zeros((0, 3))
+    gsize = state.geom_size  # per-env sizes (heterogeneous batches)
     gpos, gquat = all_geom_poses(model, state, body_pos, body_quat)
 
     pos_l, nrm_l, dep_l, mu_l, c_l, k_l = [], [], [], [], [], []
@@ -227,8 +205,8 @@ def compute_contacts(model: SceneModel, state: SimState, body_pos, body_quat):
         n_pairs = len(ia_arr)
         pa, qa = gpos[ia_arr], gquat[ia_arr]
         pb, qb = gpos[ib_arr], gquat[ib_arr]
-        sa = jnp.asarray(gsize[ia_arr])
-        sb = jnp.asarray(gsize[ib_arr])
+        sa = gsize[ia_arr]
+        sb = gsize[ib_arr]
         c = jax.vmap(fn)(pa, qa, sa, pb, qb, sb)  # (n_pairs, npts, ...)
         pos_l.append(c.pos.reshape(-1, 3))
         nrm_l.append(c.normal.reshape(-1, 3))

@@ -72,13 +72,20 @@ class SimParams:
 
 @struct.dataclass
 class SimState:
-    """Per-environment simulation state (leading batch dims allowed)."""
+    """Per-environment simulation state (leading batch dims allowed).
+
+    ``geom_size`` makes collision-geometry dimensions *state*: each env can
+    carry different object sizes — the TPU-native answer to the reference's
+    heterogeneous sub-scenes (``ActorBuilder.set_scene_idxs`` +
+    ``Actor.merge``, SURVEY.md §2.10) with zero recompilation.
+    """
 
     qpos: jnp.ndarray  # (nq,)
     qvel: jnp.ndarray  # (nq,)
     free_pose: jnp.ndarray  # (n_free, 7) [p, q_wxyz]
     free_vel: jnp.ndarray  # (n_free, 6) [lin_vel, ang_vel]  (ManiSkill layout)
     kin_pose: jnp.ndarray  # (n_kin, 7)
+    geom_size: jnp.ndarray  # (n_geoms, 3) per-env collision sizes
 
 
 @struct.dataclass
@@ -215,13 +222,24 @@ class SceneModel:
         free_pose[:, 3] = 1.0
         kin_pose = np.zeros((self.n_kin, 7), dtype=np.float32)
         kin_pose[:, 3] = 1.0
+        gsize = (
+            np.stack([g.size for g in self.geoms]).astype(np.float32)
+            if self.geoms
+            else np.zeros((0, 3), np.float32)
+        )
         return SimState(
             qpos=jnp.asarray(self.init_qpos),
             qvel=jnp.zeros(self.nq),
             free_pose=jnp.asarray(free_pose),
             free_vel=jnp.zeros((self.n_free, 6)),
             kin_pose=jnp.asarray(kin_pose),
+            geom_size=jnp.asarray(gsize),
         )
+
+    def geom_indices(self, name: str):
+        """Indices into the geom table (and SimState.geom_size rows) of all
+        geoms belonging to the named body."""
+        return [i for i, g in enumerate(self.geoms) if g.name == name]
 
     def batch_state(self, state: SimState, batch: int) -> SimState:
         return jax.tree.map(

@@ -139,7 +139,7 @@ class Camera:
             o = quat_apply(quat_conjugate(gq)[None], cam_p[None] - gp[None])
             o = jnp.broadcast_to(o, (N, 3))
             d = quat_apply(quat_conjugate(gq)[None], dirs_w)
-            size = jnp.asarray(g.size)
+            size = state.geom_size[gi]
             if g.gtype == GeomType.PLANE:
                 t = _ray_plane(o, d)
             elif g.gtype == GeomType.SPHERE:
