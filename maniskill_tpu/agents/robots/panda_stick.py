@@ -32,12 +32,8 @@ class PandaStick(BaseAgent):
         )
     )
 
-    # stick tip approximated as a small capsule at the TCP
-    extra_collisions = [
-        dict(link="panda_hand", type=GeomType.CAPSULE,
-             size=np.array([0.008, 0.05, 0], np.float32),
-             offset_p=np.array([0, 0, 0.06], np.float32)),
-    ]
+    # the stick's cylinder collision comes straight from the URDF (the
+    # reference panda_stick.urdf ships a primitive), so no extras needed
 
     def _controller_configs(self):
         common = dict(joint_names=ARM_JOINTS, stiffness=1e3, damping=1e2,
