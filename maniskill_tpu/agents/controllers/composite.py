@@ -37,6 +37,10 @@ class CompositeController:
         self.action_low = np.concatenate(lows).astype(np.float32)
         self.action_high = np.concatenate(highs).astype(np.float32)
 
+        # task-space sub-controllers need FK context at set_action time;
+        # joint-space ones don't (lets the env skip one FK per control step)
+        self.needs_fk_aux = any(_takes_aux(c) for c in controllers.values())
+
         # full-dof drive gain arrays for the scene model
         self.kp = np.zeros(nq, dtype=np.float32)
         self.kd = np.zeros(nq, dtype=np.float32)

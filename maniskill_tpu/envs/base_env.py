@@ -272,13 +272,15 @@ class BaseEnv:
 
     def _step_one(self, state: EnvState, action) -> Tuple[EnvState, Any, Any, Any, Dict]:
         action = jnp.nan_to_num(jnp.asarray(action, jnp.float32))
-        ctx0 = TaskContext(self, state)
-        aux = (
-            jnp.asarray(self.model.robot_base_pose),
-            ctx0.body_pos,
-            ctx0.body_quat,
-            ctx0.axis_w,
-        )
+        aux = None
+        if self.agent.controller.needs_fk_aux:
+            ctx0 = TaskContext(self, state)
+            aux = (
+                jnp.asarray(self.model.robot_base_pose),
+                ctx0.body_pos,
+                ctx0.body_quat,
+                ctx0.axis_w,
+            )
         cmd = self.agent.controller.set_action(
             state.cmd, state.sim.qpos, action, aux=aux
         )
@@ -300,13 +302,15 @@ class BaseEnv:
         """Planning-grade step: advances physics + returns (state', reward,
         success) without building observations. This is what MPPI/CEM/iLQR
         vmap over thousands of rollouts (BASELINE.json north star)."""
-        ctx0 = TaskContext(self, state)
-        aux = (
-            jnp.asarray(self.model.robot_base_pose),
-            ctx0.body_pos,
-            ctx0.body_quat,
-            ctx0.axis_w,
-        )
+        aux = None
+        if self.agent.controller.needs_fk_aux:
+            ctx0 = TaskContext(self, state)
+            aux = (
+                jnp.asarray(self.model.robot_base_pose),
+                ctx0.body_pos,
+                ctx0.body_quat,
+                ctx0.axis_w,
+            )
         cmd = self.agent.controller.set_action(
             state.cmd, state.sim.qpos, action, aux=aux
         )
