@@ -612,7 +612,8 @@ def make_step_fn(model: SceneModel):
             return substep(s, cmd), None
 
         state, _ = jax.lax.scan(
-            body, state, None, length=params.substeps * sim_steps
+            body, state, None, length=params.substeps * sim_steps,
+            unroll=min(2, params.substeps * sim_steps),
         )
         return state
 
