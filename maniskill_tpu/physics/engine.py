@@ -412,23 +412,41 @@ def make_step_fn(model: SceneModel):
     h = params.dt / params.substeps
     ref = jnp.asarray(model.robot_base_pose[:3]) if spec else jnp.zeros(3)
 
-    def jac_at(qpos):
+    parent_idx = [int(p) for p in spec.parent] if spec else []
+
+    def prefix_sum(x):
+        """Per-dof contributions (nq, D) -> per-body ancestor sums (nb, D):
+        acc[b] = Σ_{k ⊑ b} x[k]. Unrolled over the (static) tree — replaces
+        the dense ancestor-mask matmul with nb adds."""
+        acc = [None] * nq
+        for b in range(nq):
+            par = parent_idx[b]
+            acc[b] = x[b] if par < 0 else acc[par] + x[b]
+        return jnp.stack(acc)
+
+    def suffix_sum(x):
+        """Per-body quantities (nb, D) -> per-dof subtree sums (nq, D):
+        out[k] = Σ_{b ⊇ k} x[b] (the Jᵀ-apply for ancestor-structured J)."""
+        acc = [x[b] for b in range(nq)]
+        for b in range(nq - 1, -1, -1):
+            par = parent_idx[b]
+            if par >= 0:
+                acc[par] = acc[par] + acc[b]
+        return jnp.stack(acc)
+
+    def cols_at(qpos):
         if nq == 0:
             z = jnp.zeros((0, 3))
-            return (
-                jnp.zeros((0, 6, 0)),
-                jnp.zeros((0, 6)),
-                (z, jnp.zeros((0, 4)), z),
-            )
+            return jnp.zeros((0, 6)), (z, jnp.zeros((0, 4)), z)
         body_pos, body_quat, axis_w = robot_fk(model, qpos)
         cols = joint_columns(model, body_pos, axis_w, ref)
-        J = joint_columns_to_jacobian(model, cols)
-        return J, cols, (body_pos, body_quat, axis_w)
+        return cols, (body_pos, body_quat, axis_w)
 
     def substep(state: SimState, cmd: DriveCmd) -> SimState:
         # ---------------- robot kinematics ----------------
-        J, cols, (body_pos, body_quat, axis_w) = jac_at(state.qpos)
-        v_body = J @ state.qvel  # (nb, 6) spatial velocities at ref
+        cols, (body_pos, body_quat, axis_w) = cols_at(state.qpos)
+        # v_b = Σ_{k ⊑ b} s_k q̇_k: prefix accumulation instead of J @ q̇
+        v_body = prefix_sum(cols * state.qvel[:, None]) if nq else jnp.zeros((0, 6))
 
         # ---------------- contacts ----------------
         f_pt, (cpos, cnrm, cdep, d_n, d_t) = point_forces(
@@ -470,7 +488,8 @@ def make_step_fn(model: SceneModel):
                 w_robot = (
                     jnp.asarray(A_robot_a) @ w_pt - jnp.asarray(A_robot_b) @ w_pt
                 )  # (nb, 6)
-                tau_contact = jnp.einsum("bik,bi->k", J, w_robot)
+                # τ_k = s_k · Σ_{b ⊇ k} w_b: suffix accumulation (Jᵀ-apply)
+                tau_contact = jnp.sum(cols * suffix_sum(w_robot), axis=-1)
                 A_r = jnp.asarray(A_robot_a + A_robot_b)  # (nb, P)
                 M_pt = point_coupling(rel_a, cnrm, d_n, d_t)  # (P, 6, 6)
                 # S_b is in [ω; v] order like J's rows; it augments the
@@ -515,16 +534,30 @@ def make_step_fn(model: SceneModel):
 
             # one contraction builds mass matrix AND the implicit contact
             # coupling: M_aug = Σ_b J_bᵀ (I_b + h·S_b) J_b
-            M_aug = jnp.einsum("bik,bij,bjl->kl", J, I_sp + h * contact_S_b, J)
+            # Composite-rigid-body contraction: M_aug = Σ_b J_bᵀ X_b J_b with
+            # X_b = I_b + h·S_b. Since J_b = (ancestor-masked joint columns),
+            # M[k,l] = s_kᵀ (Σ_{b ⊇ deeper(k,l)} X_b) s_l — suffix-accumulate
+            # X up the tree once (CRBA), then one (nq,6)@(6,nq) matmul + the
+            # ancestry mask. ~100x fewer FLOPs than the dense triple einsum.
+            Xb = I_sp + h * contact_S_b
+            comp = [Xb[b] for b in range(nq)]
+            for b in range(nq - 1, -1, -1):
+                par = int(spec.parent[b])
+                if par >= 0:
+                    comp[par] = comp[par] + comp[b]
+            Ccomp = jnp.stack(comp)  # (nb, 6, 6) subtree composites
+            tmp = jnp.einsum("bij,bj->bi", Ccomp, cols)  # (nq, 6)
+            Pm = cols @ tmp.T  # (nq, nq): P[k,l] = s_k · (C_l s_l)
+            Rt = jnp.asarray(model.ancestor_mask).T  # Rt[k,l]=1 iff k ⊑ l
+            half_m = Rt * Pm
+            M_aug = half_m + half_m.T - jnp.diag(jnp.diagonal(Pm))
 
             # Coriolis bias a_bias = J̇ q̇, using the Featherstone identity
             # ṡ_j = v_{body(j)} ×̂ s_j (a joint's Plücker column is fixed in
             # its carrying body). Closed-form — no jvp (which was a ~6x
             # compile-time blowup under vmap on CPU XLA).
             sdot = motion_cross(v_body, cols)  # (nq, 6)
-            a_bias = jnp.asarray(model.ancestor_mask) @ (
-                sdot * state.qvel[:, None]
-            )  # (nb, 6)
+            a_bias = prefix_sum(sdot * state.qvel[:, None])  # (nb, 6)
             f_vel = I_sp @ a_bias[..., None]
             f_vel = f_vel[..., 0] + force_cross(v_body, (I_sp @ v_body[..., None])[..., 0])
             # gravity wrench per body (reference parity: robot links have
@@ -534,7 +567,7 @@ def make_step_fn(model: SceneModel):
             f_grav = point_force_to_wrench(
                 com_w, grav_scale * robot_mass[:, None] * g_vec
             )
-            tau_bias = jnp.einsum("bik,bi->k", J, f_vel - f_grav)
+            tau_bias = jnp.sum(cols * suffix_sum(f_vel - f_grav), axis=-1)
 
             # implicit PD drive (see module docstring)
             tau_drive = jnp.clip(
