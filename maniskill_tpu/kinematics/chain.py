@@ -42,23 +42,47 @@ def fk(spec: RobotSpec, base_pose: jnp.ndarray, qpos: jnp.ndarray):
 def _fk_unrolled(spec: RobotSpec, base_pose: jnp.ndarray, qpos: jnp.ndarray):
     base_p = base_pose[..., :3]
     base_q = base_pose[..., 3:7]
+    # precompose the constant joint-frame quaternion with the joint axis:
+    # jq ∘ aa(axis, q) = cos(q/2)·jq + sin(q/2)·(jq ∘ [0, axis]) — one fused
+    # multiply-add instead of a second quaternion product per body
+    import numpy as _np
+
+    cache = getattr(spec, "_fk_quat_cache", None)
+    if cache is None:
+        from .urdf import _quat_mul as _qm
+
+        A, B = [], []
+        for i in range(spec.nb):
+            jq = spec.joint_quat[i]
+            ax = spec.axis[i]
+            A.append(jq)
+            B.append(_qm(jq, _np.concatenate([[0.0], ax])))
+        cache = (
+            _np.stack(A).astype(_np.float32),
+            _np.stack(B).astype(_np.float32),
+        )
+        object.__setattr__(spec, "_fk_quat_cache", cache)
+    Aq, Bq = cache
+
     pos_list, quat_list, axis_list = [], [], []
     for i in range(spec.nb):
         par = int(spec.parent[i])
         pp = base_p if par < 0 else pos_list[par]
         pq = base_q if par < 0 else quat_list[par]
         jp = jnp.asarray(spec.joint_pos[i], dtype=jnp.float32)
-        jq = jnp.asarray(spec.joint_quat[i], dtype=jnp.float32)
         ax = jnp.asarray(spec.axis[i], dtype=jnp.float32)
-        fp = pp + quat_apply(pq, jp)  # joint frame in world
-        fq = quat_mul(pq, jq)
+        fp = pp + quat_apply(pq, jp)  # joint frame origin in world
         if int(spec.joint_type[i]) == JOINT_REVOLUTE:
-            bq = quat_mul(fq, quat_from_axis_angle(ax, qpos[i]))
+            half = 0.5 * qpos[i]
+            m = jnp.cos(half) * jnp.asarray(Aq[i]) + jnp.sin(half) * jnp.asarray(Bq[i])
+            bq = quat_mul(pq, m)
             bp = fp
+            axis_list.append(quat_apply(bq, ax))  # axis invariant under own rot
         else:  # prismatic
-            bq = fq
-            bp = fp + quat_apply(fq, ax * qpos[i])
-        axis_list.append(quat_apply(fq, ax))
+            bq = quat_mul(pq, jnp.asarray(Aq[i]))
+            axis_w = quat_apply(bq, ax)
+            bp = fp + axis_w * qpos[i]
+            axis_list.append(axis_w)
         pos_list.append(bp)
         quat_list.append(bq)
     return (
