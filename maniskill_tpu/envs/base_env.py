@@ -53,11 +53,13 @@ class TaskContext:
     """Per-step derived kinematic quantities handed to task hooks so FK is
     computed once per step (reference analogue: cached struct views)."""
 
-    def __init__(self, env: "BaseEnv", state: EnvState):
+    def __init__(self, env: "BaseEnv", state: EnvState, fk=None, f_pt=None):
         self.env = env
         self.state = state
         model = env.model
-        if model.nq > 0:
+        if fk is not None:
+            self.body_pos, self.body_quat, self.axis_w = fk
+        elif model.nq > 0:
             self.body_pos, self.body_quat, self.axis_w = chain.fk(
                 model.robot, jnp.asarray(model.robot_base_pose), state.sim.qpos
             )
@@ -66,6 +68,18 @@ class TaskContext:
             self.body_quat = jnp.zeros((0, 4))
             self.axis_w = jnp.zeros((0, 3))
         self._frames: Dict[str, Pose] = {}
+        self._f_pt = f_pt
+
+    def contact_forces(self) -> jnp.ndarray:
+        """Per-candidate-point contact forces (P, 3) for pairwise force
+        queries (is_grasping etc.). Reuses the physics step's last-substep
+        forces on the planning fast path; computed on demand otherwise."""
+        if self._f_pt is None:
+            self._f_pt = self.env._force_query(
+                self.state.sim,
+                fk=(self.body_pos, self.body_quat, self.axis_w),
+            )[0]
+        return self._f_pt
 
     def frame_pose(self, name: str) -> Pose:
         if name not in self._frames:
@@ -158,6 +172,9 @@ class BaseEnv:
         self._load_scene(builder)
         self.model: SceneModel = builder.build()
         self._physics_step = make_step_fn(self.model)
+        from ..physics.engine import make_force_query
+
+        self._force_query = make_force_query(self.model)
         self._sensors = {}
         if self.obs_mode in ("depth", "pointcloud", "sensor_data"):
             from ..sensors.camera import Camera
@@ -319,6 +336,7 @@ class BaseEnv:
             sim=sim, cmd=cmd, elapsed_steps=state.elapsed_steps + 1
         )
         ctx = TaskContext(self, state)
+        state = self._update_extras(state, ctx)
         info = self.evaluate(state, ctx)
         reward = self._get_reward(state, action, info, ctx)
         return state, reward, info.get("success", jnp.zeros((), bool))

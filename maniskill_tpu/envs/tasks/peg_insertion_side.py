@@ -20,7 +20,6 @@ import numpy as np
 
 from ...math.pose import Pose
 from ...math.rotations import quat_from_axis_angle
-from ...physics.engine import make_force_query
 from ...physics.model import SceneSpecBuilder, box_geom
 from ..base_env import BaseEnv, EnvState, TaskContext
 from ..registration import register_env
@@ -70,7 +69,6 @@ class PegInsertionSideEnv(BaseEnv):
         self.box_hole_radius = inner
 
     def _post_build(self):
-        self._force_query = make_force_query(self.model)
         self._is_grasping_peg = self.agent.build_grasp_checker(
             self.model, "peg", max_angle=20
         )
@@ -157,9 +155,7 @@ class PegInsertionSideEnv(BaseEnv):
         # stage 2: reach + grasp (reference :301-318)
         tgt = ctx.actor_pose("peg") * Pose.create(p=jnp.array([-0.06, 0, 0]))
         reach = 1.0 - jnp.tanh(4.0 * jnp.linalg.norm(ctx.tcp_pose.p - tgt.p))
-        f_pt, _ = self._force_query(
-            state.sim, fk=(ctx.body_pos, ctx.body_quat, ctx.axis_w)
-        )
+        f_pt = ctx.contact_forces()
         is_grasped = self._is_grasping_peg(ctx.body_quat, f_pt)
         reward = reach + is_grasped
 

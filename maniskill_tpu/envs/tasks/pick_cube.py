@@ -15,7 +15,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...math.rotations import quat_from_axis_angle
-from ...physics.engine import make_force_query
 from ...physics.model import SceneSpecBuilder, box_geom
 from ..base_env import BaseEnv, EnvState, TaskContext
 from ..registration import register_env
@@ -55,7 +54,6 @@ class PickCubeEnv(BaseEnv):
         self.goal_site = builder.add_kinematic_body("goal_site")
 
     def _post_build(self):
-        self._force_query = make_force_query(self.model)
         self._is_grasping = self.agent.build_grasp_checker(self.model, "cube")
 
     def _initialize_episode(self, state: EnvState, key) -> EnvState:
@@ -79,9 +77,7 @@ class PickCubeEnv(BaseEnv):
         cube_p = ctx.actor_pose("cube").p
         goal_p = ctx.actor_pose("goal_site").p
         is_obj_placed = jnp.linalg.norm(goal_p - cube_p) <= self.goal_thresh
-        f_pt, _ = self._force_query(
-            state.sim, fk=(ctx.body_pos, ctx.body_quat, ctx.axis_w)
-        )
+        f_pt = ctx.contact_forces()
         is_grasped = self._is_grasping(ctx.body_quat, f_pt)
         is_robot_static = self.agent.is_static(state.sim.qvel, 0.2)
         return dict(

@@ -13,7 +13,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...math.rotations import quat_from_axis_angle
-from ...physics.engine import make_force_query
 from ...physics.model import SceneSpecBuilder, box_geom
 from ..base_env import BaseEnv, EnvState, TaskContext
 from ..registration import register_env
@@ -52,7 +51,6 @@ class StackCubeEnv(BaseEnv):
         self.cubeB = builder.add_free_body("cubeB", m, inertia, [box_geom([half] * 3)])
 
     def _post_build(self):
-        self._force_query = make_force_query(self.model)
         self._is_grasping_A = self.agent.build_grasp_checker(self.model, "cubeA")
 
     def _initialize_episode(self, state: EnvState, key) -> EnvState:
@@ -98,9 +96,7 @@ class StackCubeEnv(BaseEnv):
         is_static = (jnp.linalg.norm(velA[:3]) <= 1e-2) & (
             jnp.linalg.norm(velA[3:]) <= 0.5
         )
-        f_pt, _ = self._force_query(
-            state.sim, fk=(ctx.body_pos, ctx.body_quat, ctx.axis_w)
-        )
+        f_pt = ctx.contact_forces()
         is_grasped = self._is_grasping_A(ctx.body_quat, f_pt)
         return dict(
             is_cubeA_grasped=is_grasped,

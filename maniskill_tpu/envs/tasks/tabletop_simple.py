@@ -12,7 +12,6 @@ import numpy as np
 
 from ...math.pose import Pose
 from ...math.rotations import quat_apply, quat_from_euler
-from ...physics.engine import make_force_query
 from ...physics.model import SceneSpecBuilder, box_geom
 from ..base_env import BaseEnv, EnvState, TaskContext
 from ..registration import register_env
@@ -117,7 +116,6 @@ class PokeCubeEnv(_TabletopBase):
         self.goal_region = builder.add_kinematic_body("goal_region")
 
     def _post_build(self):
-        self._force_query = make_force_query(self.model)
         self._is_grasping_peg = self.agent.build_grasp_checker(self.model, "peg")
 
     def _initialize_episode(self, state, key):
@@ -167,9 +165,7 @@ class PokeCubeEnv(_TabletopBase):
         is_aligned = angle_diff < 0.05
         head_to_cube = jnp.linalg.norm(self._peg_head_pos(ctx)[:2] - cube.p[:2])
         is_close = head_to_cube <= self.cube_half_size + 0.005
-        f_pt, _ = self._force_query(
-            state.sim, fk=(ctx.body_pos, ctx.body_quat, ctx.axis_w)
-        )
+        f_pt = ctx.contact_forces()
         is_grasped = self._is_grasping_peg(ctx.body_quat, f_pt)
         is_static = self.agent.is_static(state.sim.qvel, 0.2)
         return dict(
@@ -230,7 +226,6 @@ class LiftPegUprightEnv(_TabletopBase):
         self.peg = builder.add_free_body("peg", m, I, [box_geom([L, w, w])])
 
     def _post_build(self):
-        self._force_query = make_force_query(self.model)
         self._is_grasping_peg = self.agent.build_grasp_checker(self.model, "peg")
 
     def _initialize_episode(self, state, key):
@@ -267,9 +262,7 @@ class LiftPegUprightEnv(_TabletopBase):
         z_dist = jnp.abs(peg.p[2] - self.peg_half_length)
         reward = reward + 1.0 - jnp.tanh(5.0 * z_dist)
         to_grip = jnp.linalg.norm(peg.p - ctx.tcp_pose.p)
-        f_pt, _ = self._force_query(
-            state.sim, fk=(ctx.body_pos, ctx.body_quat, ctx.axis_w)
-        )
+        f_pt = ctx.contact_forces()
         grasped = self._is_grasping_peg(ctx.body_quat, f_pt)
         reaching = jnp.where(grasped, 1.0, 1.0 - jnp.tanh(5.0 * to_grip))
         reward = reward + reaching / 5.0

@@ -628,26 +628,40 @@ def make_step_fn(model: SceneModel):
         else:
             free_pose_new, free_vel_new = state.free_pose, state.free_vel
 
-        return state.replace(
+        new_state = state.replace(
             qpos=qpos_new,
             qvel=qvel_new,
             free_pose=free_pose_new,
             free_vel=free_vel_new,
         )
+        aux = dict(
+            f_pt=f_pt, body_pos=body_pos, body_quat=body_quat, axis_w=axis_w
+        )
+        return new_state, aux
 
-    def step(state: SimState, cmd: DriveCmd, sim_steps: int = 1) -> SimState:
+    def step(state: SimState, cmd: DriveCmd, sim_steps: int = 1,
+             return_aux: bool = False):
         """Advance ``sim_steps`` sim steps (each params.substeps inner
         substeps) under a constant drive command, as ONE flat lax.scan so the
         substep body is traced/compiled exactly once (nested scans multiplied
-        XLA compile time ~4x)."""
+        XLA compile time ~4x).
+
+        With ``return_aux=True`` also returns the LAST substep's contact
+        forces and FK (half a substep stale relative to the returned state) —
+        planners reuse these in reward/evaluate instead of recomputing a full
+        FK + narrowphase pass per control step."""
 
         def body(s, _):
-            return substep(s, cmd), None
+            s2, aux = substep(s, cmd)
+            return s2, aux
 
-        state, _ = jax.lax.scan(
+        state, auxs = jax.lax.scan(
             body, state, None, length=params.substeps * sim_steps,
             unroll=min(2, params.substeps * sim_steps),
         )
+        if return_aux:
+            last_aux = jax.tree.map(lambda x: x[-1], auxs)
+            return state, last_aux
         return state
 
     return step
