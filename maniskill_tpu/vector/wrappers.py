@@ -140,3 +140,110 @@ class FlattenActionSpaceWrapper:
 
     def __getattr__(self, name):
         return getattr(self.env, name)
+
+
+class FlattenObservationWrapper:
+    """Flattens dict observations into one (B, D) vector per step with a
+    deterministic key order (reference ``utils/wrappers/flatten.py:80`` /
+    ``common.flatten_state_dict``). No-op for already-flat obs."""
+
+    def __init__(self, env):
+        self.env = env
+
+    def __getattr__(self, name):
+        return getattr(self.env, name)
+
+    @staticmethod
+    def _flatten(obs):
+        if not isinstance(obs, dict):
+            return obs
+        from ..envs.base_env import flatten_state_dict
+
+        return flatten_state_dict(obs)
+
+    def reset(self, seed=None, options=None):
+        obs, info = self.env.reset(seed=seed, options=options)
+        return self._flatten(obs), info
+
+    def step(self, action):
+        obs, rew, term, trunc, info = self.env.step(action)
+        return self._flatten(obs), rew, term, trunc, info
+
+
+class FlattenRGBDObservationWrapper:
+    """Splits a visual dict obs into ``{state, depth, segmentation}`` with
+    the per-camera images stacked along the channel axis (reference
+    ``FlattenRGBDObservationWrapper``, utils/wrappers/flatten.py:14 — ours
+    carries depth/segmentation; the analytic TPU camera renders no RGB).
+    Requires ``obs_mode`` in ("depth", "sensor_data")."""
+
+    def __init__(self, env, include_state: bool = True):
+        self.env = env
+        self.include_state = include_state
+
+    def __getattr__(self, name):
+        return getattr(self.env, name)
+
+    def _convert(self, obs):
+        from ..envs.base_env import flatten_state_dict
+
+        if not isinstance(obs, dict) or "sensor_data" not in obs:
+            raise ValueError(
+                "FlattenRGBDObservationWrapper needs a dict obs with "
+                "'sensor_data' — construct the env with obs_mode='depth' "
+                "or 'sensor_data'"
+            )
+        obs = dict(obs)
+        sensor = obs.pop("sensor_data")
+        out = {}
+        if self.include_state:
+            out["state"] = flatten_state_dict(obs)
+        depth = [d["depth"] for d in sensor.values()]
+        seg = [d["segmentation"] for d in sensor.values()]
+        out["depth"] = jnp.stack(depth, axis=-1)
+        out["segmentation"] = jnp.stack(seg, axis=-1)
+        return out
+
+    def reset(self, seed=None, options=None):
+        obs, info = self.env.reset(seed=seed, options=options)
+        return self._convert(obs), info
+
+    def step(self, action):
+        obs, rew, term, trunc, info = self.env.step(action)
+        return self._convert(obs), rew, term, trunc, info
+
+
+class FrameStack:
+    """Stacks the last ``num_stack`` observations along a new axis-1:
+    flat obs (B, D) → (B, num_stack, D) (reference
+    ``utils/wrappers/frame_stack.py:11``). Host-side ring buffer — frame
+    stacking is an obs-space transform, not part of the jitted step."""
+
+    def __init__(self, env, num_stack: int):
+        from collections import deque
+
+        self.env = env
+        self.num_stack = num_stack
+        self._frames = deque(maxlen=num_stack)
+
+    def __getattr__(self, name):
+        return getattr(self.env, name)
+
+    def _stacked(self):
+        if isinstance(self._frames[0], dict):
+            raise ValueError(
+                "FrameStack needs flat array obs — wrap the env in "
+                "FlattenObservationWrapper first (or use obs_mode='state')"
+            )
+        return np.stack([np.asarray(f) for f in self._frames], axis=1)
+
+    def reset(self, seed=None, options=None):
+        obs, info = self.env.reset(seed=seed, options=options)
+        for _ in range(self.num_stack):
+            self._frames.append(obs)
+        return self._stacked(), info
+
+    def step(self, action):
+        obs, rew, term, trunc, info = self.env.step(action)
+        self._frames.append(obs)
+        return self._stacked(), rew, term, trunc, info

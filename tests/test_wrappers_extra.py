@@ -1,0 +1,94 @@
+"""Obs wrappers (flatten / frame-stack), profiler, and the BC baseline
+pipeline (record demos -> train -> act)."""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import maniskill_tpu as mst
+from maniskill_tpu.utils.profiling import Profiler, device_memory_stats
+from maniskill_tpu.vector.wrappers import (
+    FlattenObservationWrapper,
+    FlattenRGBDObservationWrapper,
+    FrameStack,
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_flatten_observation_wrapper():
+    env = FlattenObservationWrapper(
+        mst.make("PushCube-v1", num_envs=2, obs_mode="state_dict")
+    )
+    obs, _ = env.reset(seed=0)
+    assert not isinstance(obs, dict)
+    obs2, *_ = env.step(np.zeros((2, env.action_dim), np.float32))
+    assert np.asarray(obs2).shape == np.asarray(obs).shape
+    assert np.asarray(obs).ndim == 2 and np.asarray(obs).shape[0] == 2
+
+
+def test_flatten_rgbd_wrapper():
+    env = FlattenRGBDObservationWrapper(
+        mst.make("PushCube-v1", num_envs=2, obs_mode="depth")
+    )
+    obs, _ = env.reset(seed=0)
+    assert set(obs) == {"state", "depth", "segmentation"}
+    # (B, H, W, ncams)
+    assert np.asarray(obs["depth"]).ndim == 4
+    assert np.asarray(obs["state"]).shape[0] == 2
+
+
+def test_frame_stack():
+    k = 3
+    env = FrameStack(mst.make("PushCube-v1", num_envs=2), num_stack=k)
+    obs, _ = env.reset(seed=0)
+    assert obs.shape[:2] == (2, k)
+    assert np.allclose(obs[:, 0], obs[:, -1])  # reset fills with copies
+    first = obs[:, -1].copy()
+    obs, *_ = env.step(np.zeros((2, env.action_dim), np.float32))
+    assert np.allclose(obs[:, 1], first)  # shifted by one
+
+
+def test_profiler(tmp_path):
+    env = mst.make("PushCube-v1", num_envs=4)
+    obs, _ = env.reset(seed=0)
+    prof = Profiler(output_format="silent")
+    with prof.profile("steps", total_steps=3, num_envs=4):
+        for _ in range(3):
+            obs, *_ = env.step(np.zeros((4, env.action_dim), np.float32))
+        Profiler.synchronize(obs)
+    s = prof.stats["steps"]
+    assert s["steps_per_s"] > 0
+    assert s["parallel_steps_per_s"] == pytest.approx(4 * s["steps_per_s"])
+    csv_path = tmp_path / "out.csv"
+    prof.update_csv(str(csv_path))
+    assert csv_path.read_text().count("\n") == 2  # header + row
+    assert isinstance(device_memory_stats(), dict)
+
+
+@pytest.mark.slow
+def test_bc_pipeline(tmp_path):
+    # record a handful of scripted PushCube demos, then train BC on them
+    env = subprocess.run(
+        [
+            sys.executable, "-m", "maniskill_tpu.examples.motionplanning.run",
+            "-e", "PushCube-v1", "-n", "4", "--traj-dir", str(tmp_path),
+        ],
+        cwd=REPO, capture_output=True, text=True, timeout=600,
+    )
+    assert env.returncode == 0, env.stderr[-2000:]
+    h5 = tmp_path / "trajectory.h5"
+    assert h5.exists()
+    out = subprocess.run(
+        [
+            sys.executable, "examples/baselines/bc/bc_jax.py",
+            "--env-id", "PushCube-v1", "--dataset", str(h5),
+            "--control-mode", "pd_ee_delta_pos",
+            "--epochs", "3", "--eval-envs", "4", "--eval-steps", "5",
+        ],
+        cwd=REPO, capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "eval success_once" in out.stdout
