@@ -215,6 +215,54 @@ class BaseEnv:
         _default_sensor_configs, sapien_env.py:371). Tasks override."""
         return []
 
+    def _default_human_render_camera_configs(self):
+        """Camera config for :meth:`render` (reference
+        _default_human_render_camera_configs, sapien_env.py:389)."""
+        from ..math.pose import look_at
+        from ..sensors.camera import CameraConfig
+
+        # Framed on the workspace center; note only geoms with collision
+        # shapes render (arm links are contact-budget-pruned — the
+        # hand/fingers + objects carry the task-relevant visuals).
+        pose = np.asarray(look_at([0.5, 0.6, 0.6], [-0.15, 0.0, 0.2]).raw)
+        return CameraConfig("render_camera", pose, width=256, height=256,
+                            fov=1.2)
+
+    def render(self):
+        """uint8 (H', W', 3) image: per-env depth renders from the human
+        render camera, tiled into one grid (reference render_mode
+        "rgb_array", sapien_env.py:1290 — the analytic TPU camera renders
+        depth/segmentation; depth is shown)."""
+        assert self._state is not None, "call reset() before render()"
+        from ..utils.visualization import depth_to_image, tile_images
+
+        if not hasattr(self, "_render_fn"):
+            from ..sensors.camera import Camera
+
+            cam = Camera(self._default_human_render_camera_configs(),
+                         self.model)
+
+            def one(state):
+                ctx = TaskContext(self, state)
+                return cam.render(state.sim, ctx.body_pos, ctx.body_quat)
+
+            self._render_fn = jax.jit(jax.vmap(one))
+            self._render_far = cam.cfg.far
+        out = self._render_fn(self._state)
+        depth = np.asarray(out["depth"])  # (B, H, W)
+        seg = np.asarray(out["segmentation"])  # (B, H, W)
+        from ..utils.visualization import segmentation_to_image
+
+        frames = []
+        for i in range(depth.shape[0]):
+            shade = depth_to_image(depth[i], max_depth=2.0).astype(np.float32)
+            color = segmentation_to_image(seg[i]).astype(np.float32)
+            # segmentation hue shaded by depth for legibility
+            img = np.clip(0.35 * shade + 0.65 * color * (shade / 255.0 * 0.7
+                                                         + 0.3), 0, 255)
+            frames.append(img.astype(np.uint8))
+        return tile_images(frames)
+
     def _initialize_episode(self, state: EnvState, key) -> EnvState:
         """Pure per-env episode randomization; return updated state."""
         return state

@@ -23,6 +23,8 @@ def main():
     p.add_argument("-n", "--num-envs", type=int, default=8)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--traj-dir", default=None)
+    p.add_argument("--save-video", action="store_true",
+                   help="also write <traj-dir>/trajectory.mp4 (depth render)")
     args = p.parse_args()
 
     env = mst.make(
@@ -34,6 +36,7 @@ def main():
     recorder = None
     if args.traj_dir:
         recorder = RecordEpisode(env, args.traj_dir, save_obs=True,
+                                 save_video=args.save_video,
                                  source_type="motionplanning")
         recorder.reset(seed=args.seed)
     else:

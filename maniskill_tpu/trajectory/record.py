@@ -56,10 +56,18 @@ class RecordEpisode:
         output_dir: str,
         trajectory_name: str = "trajectory",
         save_obs: bool = False,
+        save_video: bool = False,
+        video_fps: int = 20,
         source_type: Optional[str] = None,
         source_desc: Optional[str] = None,
     ):
         self.env = env
+        self.save_video = save_video
+        self.video_fps = video_fps
+        self._video_frames: List = []
+        self._video_path = os.path.join(
+            output_dir, f"{trajectory_name}.mp4"
+        )
         os.makedirs(output_dir, exist_ok=True)
         self._h5_path = os.path.join(output_dir, f"{trajectory_name}.h5")
         self._json_path = os.path.join(output_dir, f"{trajectory_name}.json")
@@ -115,6 +123,8 @@ class RecordEpisode:
             self._buffers[i]["states"].append(_index_tree(state, i))
             if self.save_obs:
                 self._buffers[i]["obs"].append(np.asarray(obs)[i])
+        if self.save_video:
+            self._video_frames.append(self.env.render())
         return obs, info
 
     def step(self, action):
@@ -135,6 +145,8 @@ class RecordEpisode:
             b["states"].append(_index_tree(state, i))
             if self.save_obs:
                 b["obs"].append(np.asarray(obs)[i])
+        if self.save_video:
+            self._video_frames.append(self.env.render())
         return obs, rew, term, trunc, info
 
     def _flush(self, i: int):
@@ -177,6 +189,12 @@ class RecordEpisode:
 
     def close(self):
         self.flush_all()
+        if self.save_video and self._video_frames:
+            from ..utils.visualization import images_to_video
+
+            images_to_video(self._video_frames, self._video_path,
+                            fps=self.video_fps)
+            self._video_frames = []
         self._h5.close()
 
 

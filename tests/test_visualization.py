@@ -1,0 +1,64 @@
+"""env.render(), visualization utils, and RecordEpisode video output."""
+import os
+
+import numpy as np
+
+import maniskill_tpu as mst
+from maniskill_tpu.trajectory import RecordEpisode
+from maniskill_tpu.utils.visualization import (
+    depth_to_image,
+    images_to_video,
+    put_info_on_image,
+    segmentation_to_image,
+    tile_images,
+)
+
+
+def test_tile_images():
+    ims = [np.full((8, 10, 3), i, np.uint8) for i in range(5)]
+    grid = tile_images(ims)
+    assert grid.shape == (16, 30, 3)  # 2 rows x 3 cols
+    assert (grid[:8, :10] == 0).all() and (grid[:8, 10:20] == 1).all()
+
+
+def test_depth_seg_images():
+    d = np.array([[0.5, np.inf], [1.0, 2.0]])
+    img = depth_to_image(d, max_depth=2.0)
+    assert img.shape == (2, 2, 3) and img.dtype == np.uint8
+    assert img[0, 1, 0] == 0  # no-hit pixel is black
+    seg = segmentation_to_image(np.array([[0, 1], [2, 3]]))
+    assert seg.shape == (2, 2, 3)
+    assert (seg[0, 0] == 0).all()  # background black
+
+
+def test_env_render_and_overlay():
+    env = mst.make("PushCube-v1", num_envs=2)
+    env.reset(seed=0)
+    img = env.render()
+    assert img.dtype == np.uint8 and img.ndim == 3 and img.shape[2] == 3
+    assert img.max() > 0  # something visible (robot/cube/table in frame)
+    img2 = put_info_on_image(img, dict(reward=1.234, step=3))
+    assert img2.shape == img.shape
+
+
+def test_record_episode_video(tmp_path):
+    env = mst.make("PushCube-v1", num_envs=2)
+    rec = RecordEpisode(env, str(tmp_path), save_video=True, video_fps=10)
+    rec.reset(seed=0)
+    for _ in range(3):
+        rec.step(np.zeros((2, env.action_dim), np.float32))
+    rec.close()
+    vid = os.path.join(str(tmp_path), "trajectory.mp4")
+    assert os.path.exists(vid) and os.path.getsize(vid) > 0
+    import cv2
+
+    cap = cv2.VideoCapture(vid)
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 4  # reset + 3 steps
+    cap.release()
+
+
+def test_images_to_video_roundtrip(tmp_path):
+    frames = [np.random.randint(0, 255, (32, 32, 3), np.uint8)
+              for _ in range(5)]
+    p = images_to_video(frames, str(tmp_path / "v.mp4"), fps=5)
+    assert os.path.getsize(p) > 0
