@@ -515,6 +515,12 @@ class BaseEnv:
             )
         out = dict(actors=actors, articulations=arts)
         out["controller"] = dict(target_qpos=self._state.cmd.target_qpos)
+        # warm-started contact impulses (SimState.contact_lam): genuinely
+        # part of solver state, carried so set_state_dict restores behavior
+        # EXACTLY. (PhysX keeps an equivalent warm-start cache but hides it
+        # from the reference's state dict — restoring without it is only
+        # approximate; lam re-converges within ~2 substeps.)
+        out["contacts"] = dict(lam=s.contact_lam, lam_t=s.contact_lam_t)
         return out
 
     def set_state_dict(self, sd: Dict):
@@ -536,9 +542,15 @@ class BaseEnv:
             nq = self.model.nq
             qpos = val[:, 13 : 13 + nq]
             qvel = val[:, 13 + nq : 13 + 2 * nq]
+        if "contacts" in sd:
+            lam = jnp.asarray(sd["contacts"]["lam"])
+            lam_t = jnp.asarray(sd["contacts"]["lam_t"])
+        else:  # legacy payload: re-converges within ~2 substeps
+            lam = jnp.zeros_like(s.contact_lam)
+            lam_t = jnp.zeros_like(s.contact_lam_t)
         sim = s.replace(
             free_pose=free_pose, free_vel=free_vel, kin_pose=kin_pose,
-            qpos=qpos, qvel=qvel,
+            qpos=qpos, qvel=qvel, contact_lam=lam, contact_lam_t=lam_t,
         )
         cmd = self._state.cmd
         if "controller" in sd:

@@ -34,7 +34,7 @@ from ..math.rotations import (
     quat_to_matrix,
 )
 from .model import BodyKind, DriveCmd, SceneModel, SimState
-from .linalg import solve_psd
+from .linalg import solve_psd_pair
 from .spatial import (
     force_cross,
     motion_cross,
@@ -199,7 +199,7 @@ def compute_contacts(model: SceneModel, state: SimState, body_pos, body_quat):
     gsize = state.geom_size  # per-env sizes (heterogeneous batches)
     gpos, gquat = all_geom_poses(model, state, body_pos, body_quat)
 
-    pos_l, nrm_l, dep_l, mu_l, c_l, k_l = [], [], [], [], [], []
+    pos_l, nrm_l, dep_l, mu_l, c_l, k_l, m_l = [], [], [], [], [], [], []
     meta_a, meta_b = [], []  # (kind, body) per point
     for (fn, npts, ia_arr, ib_arr, mu_arr) in model.pair_groups:
         n_pairs = len(ia_arr)
@@ -212,7 +212,7 @@ def compute_contacts(model: SceneModel, state: SimState, body_pos, body_quat):
         nrm_l.append(c.normal.reshape(-1, 3))
         dep_l.append(c.depth.reshape(-1))
         # per-point material/solver coefficients (static)
-        mu_pt, c_pt, k_pt_arr = [], [], []
+        mu_pt, c_pt, k_pt_arr, m_pt_arr = [], [], [], []
         for j in range(n_pairs):
             ga, gb = model.geoms[ia_arr[j]], model.geoms[ib_arr[j]]
             m_eff = min(_dyn_mass_of(model, ga), _dyn_mass_of(model, gb))
@@ -224,15 +224,17 @@ def compute_contacts(model: SceneModel, state: SimState, body_pos, body_quat):
             mu_pt += [mu_arr[j]] * npts
             c_pt += [damping] * npts
             k_pt_arr += [k_pt] * npts
+            m_pt_arr += [m_pt] * npts
             meta_a += [(ga.kind, ga.body)] * npts
             meta_b += [(gb.kind, gb.body)] * npts
         mu_l.append(jnp.asarray(np.asarray(mu_pt, np.float32)))
         c_l.append(jnp.asarray(np.asarray(c_pt, np.float32)))
         k_l.append(jnp.asarray(np.asarray(k_pt_arr, np.float32)))
+        m_l.append(jnp.asarray(np.asarray(m_pt_arr, np.float32)))
     if not pos_l:
         z3 = jnp.zeros((0, 3))
         z = jnp.zeros(0)
-        return z3, z3, z, z, z, z, [], []
+        return z3, z3, z, z, z, z, z, [], []
     return (
         jnp.concatenate(pos_l),
         jnp.concatenate(nrm_l),
@@ -240,6 +242,7 @@ def compute_contacts(model: SceneModel, state: SimState, body_pos, body_quat):
         jnp.concatenate(mu_l),
         jnp.concatenate(c_l),
         jnp.concatenate(k_l),
+        jnp.concatenate(m_l),
         meta_a,
         meta_b,
     )
@@ -264,7 +267,7 @@ def _point_assignment(model: SceneModel, meta, kind: BodyKind, n_bodies: int):
 
 def _assignment_tables(model: SceneModel):
     """Static one-hot point→body assignment matrices for both pair sides."""
-    _, _, _, _, _, _, meta_a0, meta_b0 = _trace_metadata(model)
+    _, _, _, _, _, _, _, meta_a0, meta_b0 = _trace_metadata(model)
     nq = model.nq
     n_free = model.n_free
     return (
@@ -285,8 +288,30 @@ def point_forces(
 ):
     """Contact forces at every candidate point (force on side A, world frame).
 
-    Returns (f_pt (P,3), contact arrays tuple). This is the TPU-native
-    equivalent of PhysX's contact solver output that the reference exposes via
+    Returns ``(f_vel (P,3), f_pos (P,3), (lam', lam_t'), contact arrays)``.
+
+    ``f_vel``/``f_pos`` are the split-impulse force pair: ``f_vel`` targets
+    zero normal velocity (pure inelastic; what the velocity state integrates)
+    and ``f_pos`` additionally carries the Baumgarte depenetration bias (what
+    positions integrate and what contact queries report as the true load).
+    Splitting keeps the bias out of the kinetic energy — the standard cure
+    for Baumgarte limit cycles (Box2D split impulses / PhysX position
+    iterations).
+
+    ``relam(v_body_new, free_vel_new) -> (lam', lam_t')`` computes the
+    updated warm-started impulse accumulators (see ``SimState.contact_lam``)
+    from the POST-solve velocities: each substep applies
+    ``f = max(lam + d_n·(v* − v_n), 0)`` folded implicitly into the solver
+    LHS, and stores ``lam' = max(lam + d_n·(v* − v_n⁺), 0)`` — the impulse
+    the implicit solve ACTUALLY delivered. (Storing the pre-solve explicit
+    value instead re-applies, at the next substep, force the solve already
+    declined to apply — at an impact that is a ~50× overestimate and
+    launches the object.) This is sequential-impulse / TGS warm starting
+    unrolled across substeps: static loads converge to being carried
+    entirely by ``lam`` with v → 0, so a converged grasp/stack has NO
+    phantom approach velocity and friction sees true zero slip (stiction
+    via ``lam_t``, clamped to the Coulomb cone). TPU-native equivalent of
+    PhysX's iterative contact solver whose output the reference exposes via
     ``gpu_create_contact_pair_impulse_query`` (scene.py:766-776).
     """
     params = model.params
@@ -294,48 +319,144 @@ def point_forces(
     A_robot_a, A_robot_b, A_free_a, A_free_b = tables
     nq, n_free = model.nq, model.n_free
     ref = jnp.asarray(model.robot_base_pose[:3]) if model.robot else jnp.zeros(3)
-    (cpos, cnrm, cdep, cmu, cdamp, ck, _, _) = compute_contacts(
+    (cpos, cnrm, cdep, cmu, cdamp, ck, cm, _, _) = compute_contacts(
         model, state, body_pos, body_quat
     )
     P = cpos.shape[0]
     if P == 0:
         z = jnp.zeros(0)
-        return jnp.zeros((0, 3)), (cpos, cnrm, cdep, z, z)
+        z3 = jnp.zeros((0, 3))
+        return z3, z3, (lambda vb, fv: (z, z3)), (cpos, cnrm, cdep, z, z)
 
     rel_a = cpos - ref
 
-    def side_point_vel(A_robot, A_free):
+    def side_point_vel(A_robot, A_free, vbody, fvel):
         if nq > 0:
-            vb = A_robot.T @ v_body  # (P, 6)
+            vb = A_robot.T @ vbody  # (P, 6)
             v_rob = vb[..., 3:] + jnp.cross(vb[..., :3], rel_a)
         else:
             v_rob = jnp.zeros((P, 3))
         if n_free > 0:
-            fv = A_free.T @ state.free_vel  # (P, 6) [lin, ang]
+            fv = A_free.T @ fvel  # (P, 6) [lin, ang]
             fp = A_free.T @ state.free_pose[:, :3]
             v_fr = fv[:, :3] + jnp.cross(fv[:, 3:], cpos - fp)
         else:
             v_fr = jnp.zeros((P, 3))
         return v_rob + v_fr
 
-    va = side_point_vel(jnp.asarray(A_robot_a), jnp.asarray(A_free_a))
-    vb_ = side_point_vel(jnp.asarray(A_robot_b), jnp.asarray(A_free_b))
-    v_rel = va - vb_
-    v_n = jnp.sum(v_rel * cnrm, axis=-1)
-    v_t = v_rel - v_n[:, None] * cnrm
+    def point_vels(vbody, fvel):
+        va = side_point_vel(
+            jnp.asarray(A_robot_a), jnp.asarray(A_free_a), vbody, fvel
+        )
+        vb_ = side_point_vel(
+            jnp.asarray(A_robot_b), jnp.asarray(A_free_b), vbody, fvel
+        )
+        v_rel = va - vb_
+        v_n = jnp.sum(v_rel * cnrm, axis=-1)
+        v_t = v_rel - v_n[:, None] * cnrm
+        return v_n, v_t
+
+    v_n, v_t = point_vels(v_body, state.free_vel)
 
     active = (cdep > -params.contact_margin).astype(cdep.dtype)
-    f_n = jnp.maximum(ck * cdep - cdamp * v_n, 0.0) * active
-    vt_norm = jnp.sqrt(jnp.sum(v_t * v_t, axis=-1) + params.friction_vreg**2)
-    k_t = cmu * f_n / vt_norm  # regularized Coulomb slope (implicit-stable)
-    f_t = -k_t[:, None] * v_t
-    f_pt = f_n[:, None] * cnrm + f_t
-    # implicit velocity-coupling coefficients per point (folded into solver
-    # LHS): normal gets damping + dt*stiffness (implicit spring-damper),
-    # tangential gets the friction slope.
-    d_n = (cdamp + h * ck) * (f_n > 0)
-    d_t = k_t * (f_n > 0)
-    return f_pt, (cpos, cnrm, cdep, d_n, d_t)
+    if params.contact_mode == "velocity":
+        # TGS/Baumgarte velocity-level contact (PhysX semantics, reference
+        # types.py:36-59), warm-started across substeps (module docstring):
+        # restitution-free at any h; speculative bound for separated points
+        # inside the margin (no tunneling at h=10ms). Constraint impedance
+        # d_n = k·h/β is absolute, NOT mass-scaled: a gripper squeezing a
+        # light cube must not crush through it. The implicit LHS fold keeps
+        # arbitrary stiffness stable.
+        d_n0 = ck * h / params.contact_beta  # impulse-level gain (N·s/m)
+        # depenetration pushout (position pass only; rate-capped)
+        pen_bias = jnp.minimum(
+            params.contact_beta * jnp.maximum(cdep, 0.0) / h,
+            params.contact_bias_max,
+        )
+        # speculative approach bound for separated-in-margin points: may
+        # close at most the full gap in one substep (≤ 0; 0 when touching)
+        spec = jnp.minimum(cdep, 0.0) / h
+        t_vel = spec  # 0 when penetrated (inelastic)
+        t_pos = spec + pen_bias
+        lam = state.contact_lam
+        lam_t = state.contact_lam_t
+        lam_t = lam_t - jnp.sum(lam_t * cnrm, axis=-1, keepdims=True) * cnrm
+
+        def forces_at(v_n_, v_t_):
+            """Normal/tangential contact forces at given point velocities
+            (warm impulse + implicit correction, cone-clamped friction)."""
+            f_n_vel_ = jnp.maximum(lam + d_n0 * (t_vel - v_n_), 0.0) * active
+            f_n_pos_ = jnp.maximum(lam + d_n0 * (t_pos - v_n_), 0.0) * active
+            # friction capacity from the true normal load. Separated points
+            # have lam ≈ 0 and f_n_pos ≈ 0, so the speculative margin band
+            # exerts no phantom drag without a depth gate (resting contacts
+            # sit at depth → 0 under warm-started depenetration, so a
+            # depth>0 gate would wrongly drop their friction).
+            f_t_trial_ = lam_t - d_n0[:, None] * v_t_
+            trial_norm_ = jnp.sqrt(
+                jnp.sum(f_t_trial_ * f_t_trial_, axis=-1) + 1e-18
+            )
+            cap_ = cmu * f_n_pos_
+            f_t_ = f_t_trial_ * jnp.minimum(1.0, cap_ / trial_norm_)[:, None]
+            return f_n_vel_, f_n_pos_, f_t_, trial_norm_ <= cap_
+
+        f_n_vel, f_n_pos, f_t, sticking = forces_at(v_n, v_t)
+        d_n = d_n0 * (f_n_vel > 0)
+        # LHS coupling: full impedance while sticking; the regularized
+        # Coulomb slope when sliding (force is velocity-independent along
+        # the slip direction at the cone boundary).
+        vt_norm = jnp.sqrt(
+            jnp.sum(v_t * v_t, axis=-1) + params.friction_vreg**2
+        )
+        d_t = jnp.where(sticking, d_n0, cmu * f_n_pos / vt_norm) * (
+            f_n_vel > 0
+        )
+
+        def relam(v_body_new, free_vel_new):
+            """Store the impulses the implicit solve actually delivered:
+            re-evaluate the force law at the POST-solve velocities (same
+            positions/normals — only velocities changed), under-relaxed
+            (see SimParams.contact_relax)."""
+            v_n2, v_t2 = point_vels(v_body_new, free_vel_new)
+            f_n_vel2, _, f_t2, _ = forces_at(v_n2, v_t2)
+            a = params.contact_relax
+            # memory only for TOUCHING points: a stored impulse applied while
+            # separated (speculative band) pushes the object mid-air and
+            # sustains a hover/launch limit cycle. Speculative contacts still
+            # stop incoming velocity each substep — they just store nothing.
+            # Ramped over 1mm (not a hard depth>0 gate): warm-started
+            # depenetration drives resting depth to exactly 0, where a hard
+            # gate flickers the whole accumulated load on/off (a settled
+            # gripper squeeze re-grips every ~15 steps); the ramp decays
+            # separated memory geometrically instead, so hover still dies.
+            touch = jnp.clip(1.0 + cdep / 1e-3, 0.0, 1.0)
+            lam2 = jnp.maximum((1 - a) * lam + a * f_n_vel2, 0.0) * touch
+            lam_t2 = ((1 - a) * lam_t + a * f_t2) * touch[:, None]
+            return lam2, lam_t2
+
+    else:  # legacy compliant spring-damper (bias not split; f_vel == f_pos)
+        f_n_pos = jnp.maximum(ck * cdep - cdamp * v_n, 0.0) * active
+        f_n_vel = f_n_pos
+        # friction only from TOUCHING contacts (no phantom drag inside the
+        # speculative margin band)
+        f_n_fric = f_n_pos * (cdep > 0.0)
+        # implicit spring-damper coupling: damping + dt*stiffness
+        d_n = (cdamp + h * ck) * (f_n_pos > 0)
+        vt_norm = jnp.sqrt(
+            jnp.sum(v_t * v_t, axis=-1) + params.friction_vreg**2
+        )
+        k_t = cmu * f_n_fric / vt_norm  # regularized Coulomb slope
+        f_t = -k_t[:, None] * v_t
+        d_t = k_t * (f_n_pos > 0)
+
+        def relam(v_body_new, free_vel_new):
+            return state.contact_lam, state.contact_lam_t
+
+    f_vel = f_n_vel[:, None] * cnrm + f_t
+    f_pos = f_n_pos[:, None] * cnrm + f_t
+    # d_n/d_t: implicit velocity-coupling coefficients per point, folded into
+    # the solver LHS so stiff contacts stay stable at any h.
+    return f_vel, f_pos, relam, (cpos, cnrm, cdep, d_n, d_t)
 
 
 def make_force_query(model: SceneModel):
@@ -358,7 +479,10 @@ def make_force_query(model: SceneModel):
             body_pos = jnp.zeros((0, 3))
             body_quat = jnp.zeros((0, 4))
             v_body = jnp.zeros((0, 6))
-        return point_forces(model, state, body_pos, body_quat, v_body, tables)
+        _, f_pos, _, aux = point_forces(
+            model, state, body_pos, body_quat, v_body, tables
+        )
+        return f_pos, aux  # true load incl. depenetration bias
 
     return query
 
@@ -368,7 +492,7 @@ def pair_force_signs(model: SceneModel, sel_a, sel_b) -> np.ndarray:
     (sel_a, sel_b), -1 where (sel_b, sel_a), else 0.  ``signs @ f_pt`` then
     gives the net contact force ON sel_a FROM sel_b (world frame) — the
     reference's ``get_pairwise_contact_forces`` contract (scene.py:736)."""
-    _, _, _, _, _, _, meta_a, meta_b = _trace_metadata(model)
+    _, _, _, _, _, _, _, meta_a, meta_b = _trace_metadata(model)
     signs = np.zeros(len(meta_a), dtype=np.float32)
     for p, (ma, mb) in enumerate(zip(meta_a, meta_b)):
         if ma == tuple(sel_a) and mb == tuple(sel_b):
@@ -442,6 +566,54 @@ def make_step_fn(model: SceneModel):
         cols = joint_columns(model, body_pos, axis_w, ref)
         return cols, (body_pos, body_quat, axis_w)
 
+    # --- static contact-coupling groups -----------------------------------
+    # Union-find over the candidate pair table: bodies that can ever
+    # exchange contact forces share ONE implicit solve. Solving the robot
+    # (nq×nq) and each free body (6×6) separately couples them only
+    # explicitly (block-Jacobi); with contact impedance h·d ≫ m the
+    # off-diagonal gain is ~1 and a stiff coupled contact (two-finger
+    # squeeze) limit-cycles instead of converging. The monolithic group
+    # solve is exact — and is the same machinery N-articulation scenes
+    # need (block-diagonal mass + contact coupling). Node 0 = robot,
+    # node 1+j = free body j.
+    _uf = list(range(1 + n_free))
+
+    def _find(i):
+        while _uf[i] != i:
+            _uf[i] = _uf[_uf[i]]
+            i = _uf[i]
+        return i
+
+    def _node(g):
+        if g.kind == BodyKind.ROBOT_LINK:
+            return 0 if nq > 0 else None
+        if g.kind == BodyKind.FREE:
+            return 1 + g.body
+        return None
+
+    for (_gi, _gj) in model.pairs:
+        na = _node(model.geoms[_gi])
+        nb2 = _node(model.geoms[_gj])
+        if na is not None and nb2 is not None:
+            ra, rb = _find(na), _find(nb2)
+            if ra != rb:
+                _uf[ra] = rb
+    _by_root = {}
+    if nq > 0:
+        _by_root[_find(0)] = True  # marker; rebuilt below
+    _group_free = {}
+    for _j in range(n_free):
+        _group_free.setdefault(_find(1 + _j), []).append(_j)
+    n_all = nq + 6 * n_free
+    group_cols = []  # static dof-index arrays into [q̇(nq); u_0(6); …]
+    _robot_root = _find(0) if nq > 0 else None
+    _roots = set(_group_free) | ({_robot_root} if nq > 0 else set())
+    for _r in sorted(_roots):
+        gc = list(range(nq)) if (nq > 0 and _r == _robot_root) else []
+        for _j in _group_free.get(_r, []):
+            gc.extend(range(nq + 6 * _j, nq + 6 * _j + 6))
+        group_cols.append(np.asarray(gc, dtype=np.int64))
+
     def substep(state: SimState, cmd: DriveCmd) -> SimState:
         # ---------------- robot kinematics ----------------
         cols, (body_pos, body_quat, axis_w) = cols_at(state.qpos)
@@ -449,81 +621,58 @@ def make_step_fn(model: SceneModel):
         v_body = prefix_sum(cols * state.qvel[:, None]) if nq else jnp.zeros((0, 6))
 
         # ---------------- contacts ----------------
-        f_pt, (cpos, cnrm, cdep, d_n, d_t) = point_forces(
-            model, state, body_pos, body_quat, v_body, tables
+        # split impulse: f_vel (no Baumgarte bias) integrates velocities,
+        # f_pos (with bias) integrates positions — depenetration never enters
+        # the kinetic energy (see point_forces docstring).
+        f_vel, f_pos, relam, (cpos, cnrm, cdep, d_n, d_t) = (
+            point_forces(model, state, body_pos, body_quat, v_body, tables)
         )
-        P = f_pt.shape[0]
-        # contact_lhs_robot: (nq, nq) implicit contact stiffness/damping term;
-        # contact_lhs_free: (n_free, 6, 6) same per free body
+        P = f_pos.shape[0]
+        # --- contact jacobian G (P, n_all, 3): ∂v_point/∂[q̇; u_j=[ω; v]] —
+        # one object for RHS projection (Gᵀf gives joint torques AND free
+        # wrenches) and the monolithic implicit coupling ΣGᵀDG. Dense in the
+        # dof axis; contraction dim 3P × n_all lowers to one batched matmul.
         if P > 0:
             from ..math.rotations import skew
 
             rel_a = cpos - ref
-
-            def point_coupling(rel, n, dn, dt):
-                """Per-point 6x6 coupling B_pᵀ D_p B_p in [ω; v] coords about
-                the arm origin, using
-                  D = dt·E + (dn-dt)·nnᵀ,
-                  BᵀDB = dt·BᵀB + (dn-dt)·wwᵀ,  w = [r×n; n]
-                so no per-point jacobians are materialized."""
-                S = skew(rel)
-                r2 = jnp.sum(rel * rel, axis=-1)
-                eye3 = jnp.eye(3)
-                tl = r2[..., None, None] * eye3 - rel[..., :, None] * rel[..., None, :]
-                top = jnp.concatenate([tl, S], axis=-1)
-                bot = jnp.concatenate(
-                    [-S, jnp.broadcast_to(eye3, S.shape)], axis=-1
-                )
-                BtB = jnp.concatenate([top, bot], axis=-2)  # (..., 6, 6)
-                w = jnp.concatenate([jnp.cross(rel, n), n], axis=-1)
-                wwT = w[..., :, None] * w[..., None, :]
-                return (
-                    dt[..., None, None] * BtB
-                    + (dn - dt)[..., None, None] * wwT
-                )
-
-            # wrenches at Plücker ref (for robot) and about free-body CoMs
-            w_pt = point_force_to_wrench(rel_a, f_pt)  # (P, 6) [τ; f]
+            parts = []
             if nq > 0:
-                w_robot = (
-                    jnp.asarray(A_robot_a) @ w_pt - jnp.asarray(A_robot_b) @ w_pt
-                )  # (nb, 6)
-                # τ_k = s_k · Σ_{b ⊇ k} w_b: suffix accumulation (Jᵀ-apply)
-                tau_contact = jnp.sum(cols * suffix_sum(w_robot), axis=-1)
-                A_r = jnp.asarray(A_robot_a + A_robot_b)  # (nb, P)
-                M_pt = point_coupling(rel_a, cnrm, d_n, d_t)  # (P, 6, 6)
-                # S_b is in [ω; v] order like J's rows; it augments the
-                # spatial inertia in the single Jᵀ(I + h·S)J contraction below
-                contact_S_b = jnp.einsum("bp,pxy->bxy", A_r, M_pt)  # (nb,6,6)
-            else:
-                tau_contact = jnp.zeros(nq)
-                contact_S_b = jnp.zeros((max(nq, 1), 6, 6))
+                anc = jnp.asarray(model.ancestor_mask)  # (nb, nq)
+                sidemask = (
+                    jnp.asarray(A_robot_a) - jnp.asarray(A_robot_b)
+                ).T @ anc  # (P, nq): ±1 where joint k moves the point's side
+                colv = cols[None, :, 3:] + jnp.cross(
+                    cols[None, :, :3], rel_a[:, None, :]
+                )  # (P, nq, 3): joint k's point-velocity column v + ω×r
+                parts.append(sidemask[:, :, None] * colv)
             if n_free > 0:
-                A_net = jnp.asarray(A_free_a) - jnp.asarray(A_free_b)
-                A_f = jnp.asarray(A_free_a + A_free_b)  # (n_free, P)
-                f_free = A_net @ f_pt  # (n_free, 3)
-                # torque on free body j: Σ_p A_net[j,p] (p - com_j) × f_p
-                arm = cpos[None] - state.free_pose[:, None, :3]  # (n_free,P,3)
-                t_free = jnp.einsum(
-                    "jp,jpk->jk", A_net, jnp.cross(arm, f_pt[None])
-                )
-                M_fr = point_coupling(
-                    arm,
-                    jnp.broadcast_to(cnrm[None], arm.shape),
-                    jnp.broadcast_to(d_n[None], arm.shape[:2]),
-                    jnp.broadcast_to(d_t[None], arm.shape[:2]),
-                )  # (n_free, P, 6, 6)
-                contact_lhs_free = h * jnp.einsum("jp,jpxy->jxy", A_f, M_fr)
-            else:
-                f_free = jnp.zeros((0, 3))
-                t_free = jnp.zeros((0, 3))
-                contact_lhs_free = jnp.zeros((0, 6, 6))
+                sgn = (
+                    jnp.asarray(A_free_a) - jnp.asarray(A_free_b)
+                ).T  # (P, n_free)
+                arm = cpos[:, None, :] - state.free_pose[None, :, :3]
+                blk = jnp.concatenate(
+                    [
+                        skew(arm),  # dof-major: row i = e_i × arm (= ∂v/∂ω_i)
+                        jnp.broadcast_to(jnp.eye(3), arm.shape[:2] + (3, 3)),
+                    ],
+                    axis=2,
+                )  # (P, n_free, 6, 3)
+                blk = blk * sgn[:, :, None, None]
+                parts.append(blk.reshape(P, 6 * n_free, 3))
+            G = jnp.concatenate(parts, axis=1)  # (P, n_all, 3)
+            Gn = jnp.einsum("pdx,px->pd", G, cnrm)  # (P, n_all)
+            gf_vel = jnp.einsum("pdx,px->d", G, f_vel)
+            gf_pos = jnp.einsum("pdx,px->d", G, f_pos)
+            # implicit coupling h·Σ_p Gᵀ(d_t·T + d_n·nnᵀ)G, assembled as a
+            # sum of PSD pieces (T = I − nnᵀ tangential projector)
+            L_iso = jnp.einsum("p,pdx,pex->de", d_t, G, G)
+            L_nt = jnp.einsum("p,pd,pe->de", d_t, Gn, Gn)
+            L_nn = jnp.einsum("p,pd,pe->de", d_n, Gn, Gn)
+            lhs_contact = h * (L_iso - L_nt + L_nn)
         else:
-            tau_contact = jnp.zeros(nq)
-            f_free = jnp.zeros((n_free, 3))
-            t_free = jnp.zeros((n_free, 3))
-            contact_S_b = jnp.zeros((max(nq, 1), 6, 6))
-            contact_lhs_free = jnp.zeros((n_free, 6, 6))
+            gf_vel = gf_pos = jnp.zeros(n_all)
+            lhs_contact = jnp.zeros((n_all, n_all))
 
         # ---------------- robot dynamics ----------------
         if nq > 0:
@@ -532,14 +681,12 @@ def make_step_fn(model: SceneModel):
             I_com_w = R @ robot_Icom @ R.swapaxes(-1, -2)
             I_sp = spatial_inertia_at_ref(robot_mass, com_w, I_com_w)  # (nb,6,6)
 
-            # one contraction builds mass matrix AND the implicit contact
-            # coupling: M_aug = Σ_b J_bᵀ (I_b + h·S_b) J_b
-            # Composite-rigid-body contraction: M_aug = Σ_b J_bᵀ X_b J_b with
-            # X_b = I_b + h·S_b. Since J_b = (ancestor-masked joint columns),
-            # M[k,l] = s_kᵀ (Σ_{b ⊇ deeper(k,l)} X_b) s_l — suffix-accumulate
-            # X up the tree once (CRBA), then one (nq,6)@(6,nq) matmul + the
+            # Composite-rigid-body contraction: M = Σ_b J_bᵀ I_b J_b. Since
+            # J_b = (ancestor-masked joint columns),
+            # M[k,l] = s_kᵀ (Σ_{b ⊇ deeper(k,l)} I_b) s_l — suffix-accumulate
+            # I up the tree once (CRBA), then one (nq,6)@(6,nq) matmul + the
             # ancestry mask. ~100x fewer FLOPs than the dense triple einsum.
-            Xb = I_sp + h * contact_S_b
+            Xb = I_sp
             comp = [Xb[b] for b in range(nq)]
             for b in range(nq - 1, -1, -1):
                 par = int(spec.parent[b])
@@ -558,8 +705,10 @@ def make_step_fn(model: SceneModel):
             # compile-time blowup under vmap on CPU XLA).
             sdot = motion_cross(v_body, cols)  # (nq, 6)
             a_bias = prefix_sum(sdot * state.qvel[:, None])  # (nb, 6)
-            f_vel = I_sp @ a_bias[..., None]
-            f_vel = f_vel[..., 0] + force_cross(v_body, (I_sp @ v_body[..., None])[..., 0])
+            f_cori = I_sp @ a_bias[..., None]
+            f_cori = f_cori[..., 0] + force_cross(
+                v_body, (I_sp @ v_body[..., None])[..., 0]
+            )
             # gravity wrench per body (reference parity: robot links have
             # gravity disabled by default — balance_passive_force,
             # base_agent.py:272-276)
@@ -567,7 +716,7 @@ def make_step_fn(model: SceneModel):
             f_grav = point_force_to_wrench(
                 com_w, grav_scale * robot_mass[:, None] * g_vec
             )
-            tau_bias = jnp.sum(cols * suffix_sum(f_vel - f_grav), axis=-1)
+            tau_bias = jnp.sum(cols * suffix_sum(f_cori - f_grav), axis=-1)
 
             # implicit PD drive (see module docstring)
             tau_drive = jnp.clip(
@@ -586,56 +735,91 @@ def make_step_fn(model: SceneModel):
                 - params.joint_limit_damping * in_viol * state.qvel
             )
 
-            rhs = tau_drive + cmd.qf + tau_contact + tau_lim - tau_bias
-            # implicit terms: dt*(kp*dt + kd) from the drive + joint damping
-            # + the contact stiffness/damping coupling (all fold into the LHS
-            # so stiff contacts and gains stay stable at any dt)
+            # implicit drive terms: dt*(kp*dt + kd) + joint damping fold into
+            # the LHS so stiff gains stay stable at any dt
             diag = h * (kp * h + kd) + h * joint_damping
-            lhs = M_aug + jnp.diag(diag) + 1e-6 * jnp.eye(nq)
-            # unrolled static Cholesky: XLA's batched cholesky lowers to
-            # column loops with dynamic slices (slow on TPU)
-            qacc = solve_psd(lhs, rhs)
-            qvel_new = state.qvel + h * qacc
-            qpos_new = state.qpos + h * qvel_new
-        else:
-            qpos_new, qvel_new = state.qpos, state.qvel
+            rhs_robot = tau_drive + cmd.qf + tau_lim - tau_bias
 
-        # ---------------- free-body dynamics (implicit 6x6 per body) -------
+        # ---------------- free-body terms ----------------
         if n_free > 0:
             Rf = quat_to_matrix(state.free_pose[:, 3:7])
             I_w = Rf @ free_inertia @ Rf.swapaxes(-1, -2)
             lin_v, ang_v = state.free_vel[:, :3], state.free_vel[:, 3:]
             u = jnp.concatenate([ang_v, lin_v], axis=-1)  # (n_free, 6) [ω; v]
             gyro = jnp.cross(ang_v, jnp.einsum("nij,nj->ni", I_w, ang_v))
-            W = jnp.concatenate(
-                [t_free - gyro, f_free + free_mass[:, None] * g_vec], axis=-1
-            )  # (n_free, 6) generalized force about CoM
+            grav = free_mass[:, None] * g_vec
+            Wf = jnp.concatenate([-gyro, grav], axis=-1)  # (n_free, 6)
             M6 = jnp.zeros((n_free, 6, 6))
             M6 = M6.at[:, :3, :3].set(I_w)
             M6 = M6.at[:, 3:, 3:].set(
                 free_mass[:, None, None] * jnp.eye(3)[None]
             )
-            lhs6 = M6 + contact_lhs_free + 1e-9 * jnp.eye(6)[None]
-            du = solve_psd(lhs6, h * W)
-            u_new = u + du
+
+        # ---------------- monolithic assembly + group solves --------------
+        # LHS = blockdiag(M_robot + drive diag, M6_j…) + h·ΣGᵀDG; one SPD
+        # solve per static coupling group, shared Cholesky for the
+        # split-impulse velocity/position passes.
+        lhs_full = lhs_contact
+        rhs_vel = gf_vel
+        rhs_pos = gf_pos
+        if nq > 0:
+            lhs_full = lhs_full.at[:nq, :nq].add(
+                M_aug + jnp.diag(diag) + 1e-6 * jnp.eye(nq)
+            )
+            rhs_vel = rhs_vel.at[:nq].add(rhs_robot)
+            rhs_pos = rhs_pos.at[:nq].add(rhs_robot)
+        if n_free > 0:
+            for j in range(n_free):  # static unroll; n_free is small
+                sl = slice(nq + 6 * j, nq + 6 * j + 6)
+                lhs_full = lhs_full.at[sl, sl].add(M6[j] + 1e-9 * jnp.eye(6))
+            rhs_vel = rhs_vel.at[nq:].add(Wf.reshape(-1))
+            rhs_pos = rhs_pos.at[nq:].add(Wf.reshape(-1))
+        dv_vel = jnp.zeros(n_all)
+        dv_pos = jnp.zeros(n_all)
+        for gc in group_cols:  # static index sets → static gathers
+            A = lhs_full[np.ix_(gc, gc)]
+            xv, xp = solve_psd_pair(A, h * rhs_vel[gc], h * rhs_pos[gc])
+            dv_vel = dv_vel.at[gc].set(xv)
+            dv_pos = dv_pos.at[gc].set(xp)
+
+        # ---------------- integration ----------------
+        if nq > 0:
+            qvel_new = state.qvel + dv_vel[:nq]
+            # split impulse: velocity state integrates the bias-free pass;
+            # positions integrate the bias-inclusive pass (depenetration
+            # never enters the kinetic energy)
+            qpos_new = state.qpos + h * (state.qvel + dv_pos[:nq])
+        else:
+            qpos_new, qvel_new = state.qpos, state.qvel
+        if n_free > 0:
+            u_new = u + dv_vel[nq:].reshape(n_free, 6)
+            u_int = u + dv_pos[nq:].reshape(n_free, 6)
             ang_new, lin_new = u_new[:, :3], u_new[:, 3:]
-            p_new = state.free_pose[:, :3] + h * lin_new
+            p_new = state.free_pose[:, :3] + h * u_int[:, 3:]
             q_new = quat_normalize(
-                quat_mul(quat_exp(h * ang_new), state.free_pose[:, 3:7])
+                quat_mul(quat_exp(h * u_int[:, :3]), state.free_pose[:, 3:7])
             )
             free_pose_new = jnp.concatenate([p_new, q_new], axis=-1)
             free_vel_new = jnp.concatenate([lin_new, ang_new], axis=-1)
         else:
             free_pose_new, free_vel_new = state.free_pose, state.free_vel
 
+        # store the contact impulses the solve actually delivered (evaluated
+        # at POST-solve velocities; positions/normals unchanged this substep)
+        v_body_new = (
+            prefix_sum(cols * qvel_new[:, None]) if nq else jnp.zeros((0, 6))
+        )
+        lam_new, lam_t_new = relam(v_body_new, free_vel_new)
         new_state = state.replace(
             qpos=qpos_new,
             qvel=qvel_new,
             free_pose=free_pose_new,
             free_vel=free_vel_new,
+            contact_lam=lam_new,
+            contact_lam_t=lam_t_new,
         )
         aux = dict(
-            f_pt=f_pt, body_pos=body_pos, body_quat=body_quat, axis_w=axis_w
+            f_pt=f_pos, body_pos=body_pos, body_quat=body_quat, axis_w=axis_w
         )
         return new_state, aux
 

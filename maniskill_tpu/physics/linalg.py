@@ -46,3 +46,34 @@ def solve_psd(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
             s = s - jnp.sum(cols[i][..., 1:] * xi_tail, axis=-1)
         x[i] = s / cols[i][..., 0]
     return jnp.stack(x, axis=-1)
+
+
+def solve_psd_pair(A: jnp.ndarray, b1: jnp.ndarray, b2: jnp.ndarray):
+    """Solve A x = b for TWO right-hand sides sharing one Cholesky
+    factorization (the split-impulse integrator's velocity/position passes:
+    factorization dominates, the second back-substitution is nearly free)."""
+    n = A.shape[-1]
+    cols = []
+    for j in range(n):
+        s = A[..., j:, j]
+        for k in range(j):
+            ck = cols[k]
+            s = s - ck[..., j - k :] * ck[..., j - k : j - k + 1]
+        s0 = jnp.maximum(s[..., :1], 1e-12)
+        cols.append(s * jax.lax.rsqrt(s0))
+    b = jnp.stack([b1, b2], axis=-1)  # (..., n, 2)
+    r = b
+    y = []
+    for j in range(n):
+        yj = r[..., 0, :] / cols[j][..., 0, None]
+        y.append(yj)
+        r = r[..., 1:, :] - cols[j][..., 1:, None] * yj[..., None, :]
+    x = [None] * n
+    for i in range(n - 1, -1, -1):
+        s = y[i]
+        if i < n - 1:
+            xi_tail = jnp.stack(x[i + 1 :], axis=-2)  # (..., n-1-i, 2)
+            s = s - jnp.sum(cols[i][..., 1:, None] * xi_tail, axis=-2)
+        x[i] = s / cols[i][..., 0, None]
+    out = jnp.stack(x, axis=-2)  # (..., n, 2)
+    return out[..., 0], out[..., 1]

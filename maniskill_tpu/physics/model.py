@@ -59,15 +59,51 @@ class SimParams:
     PhysX's iterative-solver knobs replaced by compliant-contact parameters."""
 
     dt: float = 0.01  # outer sim step (sim_freq=100, reference types.py:82)
-    substeps: int = 2  # inner integrator substeps per sim step (implicit
-    # contact + drives are stable at h=5ms; raise for stiffer scenes)
+    substeps: int = 1  # inner integrator substeps per sim step (the
+    # velocity-level contact law is restitution-free and stable at h=10ms)
     gravity: Tuple[float, float, float] = (0.0, 0.0, -9.81)
-    contact_stiffness: float = 2.0e4  # N/m penalty spring
+    # -- contact law ---------------------------------------------------------
+    # "velocity": TGS/Baumgarte velocity-level contact (PhysX-style, the
+    #   reference solver's semantics, types.py:36-59): target normal velocity
+    #   v* = beta*depth/h removes a fraction of penetration per substep with
+    #   zero restitution by construction; separated points inside the margin
+    #   get a speculative bound v* = depth/h (can't tunnel more than the gap
+    #   in one substep). Constraint impedance d_n = contact_stiffness*h/beta
+    #   (absolute, not mass-scaled) is folded implicitly into the solve LHS —
+    #   static loads see an effective penetration stiffness of exactly
+    #   contact_stiffness.
+    # "spring": legacy compliant spring-damper (restitution ~0.46 at h=10ms;
+    #   needs substeps=2; kept for A/B comparison).
+    contact_mode: str = "velocity"
+    contact_beta: float = 0.2  # Baumgarte: fraction of depth removed/substep
+    # (β=0.5 chatters in a gripper squeeze: the pushout outruns the drive
+    # influx and the contact limit-cycles, mm-scale per step — measured in
+    # tools/sweep_contact.py; 0.2 is PhysX-typical and settles)
+    # cap on the depenetration pushout velocity. With split impulse the bias
+    # never enters the kinetic energy, so recovery is a monotone geometric
+    # position correction (β·depth per substep) — the cap only guards
+    # pathological spawn overlaps. Keeping it low throttles the static force
+    # balance (force ∝ depth) and lets strong pushes bury objects.
+    contact_bias_max: float = 10.0
+    # under-relaxation of the warm-started impulse accumulators:
+    # lam' = (1-relax)·lam + relax·f(v⁺). One linearized solve per substep
+    # can't resolve the active-set switching a PGS loop iterates on; a full
+    # update (relax=1) rings period-2 between clamp states (and limit-cycles
+    # a two-finger squeeze into a ratchet). Relaxation damps the switching
+    # transient; static convergence stays geometric at rate (1-relax).
+    contact_relax: float = 0.5
+    # effective penetration stiffness. Velocity mode folds it implicitly into
+    # the LHS so near-rigid values are stable (a 100N-class arm pressing an
+    # object against the table stalls at ~2mm penetration, like PhysX's
+    # iterative near-rigid contact). 2e5 chatters in the gripper squeeze
+    # (tools/sweep_contact.py sweep); 5e4 is the measured stable point with
+    # sub-mm static penetration under 30N grip drives. Spring mode: 2e4.
+    contact_stiffness: float = 5.0e4
     contact_damping_ratio: float = 1.0  # fraction of critical damping
     friction_vreg: float = 0.002  # m/s tangential regularization velocity
     joint_limit_stiffness: float = 4.0e3
     joint_limit_damping: float = 1.0e2
-    contact_margin: float = 0.0  # activation margin (m)
+    contact_margin: float = 0.01  # activation margin (m): speculative band
 
 
 @struct.dataclass
@@ -86,6 +122,17 @@ class SimState:
     free_vel: jnp.ndarray  # (n_free, 6) [lin_vel, ang_vel]  (ManiSkill layout)
     kin_pose: jnp.ndarray  # (n_kin, 7)
     geom_size: jnp.ndarray  # (n_geoms, 3) per-env collision sizes
+    # warm-started contact impulses (per candidate point; static shape):
+    # accumulated normal force (N) and tangential friction force vector.
+    # These carry static contact loads across substeps so the converged
+    # velocity state is truly zero — the temporal analogue of PhysX/TGS
+    # iteration warm starting (without them, a one-shot implicit velocity
+    # solve needs a persistent "phantom" velocity v = F/d_n to hold any
+    # static force F, which leaks into the friction law and makes held
+    # objects creep). Also gives true stiction: lam_t holds tangential loads
+    # at zero slip, clamped to the Coulomb cone.
+    contact_lam: jnp.ndarray  # (P,)
+    contact_lam_t: jnp.ndarray  # (P, 3)
 
 
 @struct.dataclass
@@ -214,6 +261,10 @@ class SceneModel:
             ib_arr = np.array([e[1] for e in entries], dtype=np.int32)
             mu_arr = np.array([e[2] for e in entries], dtype=np.float32)
             self.pair_groups.append((fn, k, ia_arr, ib_arr, mu_arr))
+        # total candidate contact points (static): sizes SimState.contact_lam
+        self.n_points = sum(
+            k * len(ia) for (_, k, ia, _, _) in self.pair_groups
+        )
 
     # -- state helpers ------------------------------------------------------
     def initial_state(self) -> SimState:
@@ -234,6 +285,8 @@ class SceneModel:
             free_vel=jnp.zeros((self.n_free, 6)),
             kin_pose=jnp.asarray(kin_pose),
             geom_size=jnp.asarray(gsize),
+            contact_lam=jnp.zeros(self.n_points),
+            contact_lam_t=jnp.zeros((self.n_points, 3)),
         )
 
     def geom_indices(self, name: str):

@@ -67,6 +67,28 @@ def test_cube_no_energy_gain():
     assert max_z < 0.31
 
 
+def test_drop_zero_restitution():
+    """Velocity-level contact (default, substeps=1, h=10ms) must kill impact
+    energy by construction: after a 10cm drop the cube never rises above its
+    rest height (PhysX-TGS parity — the reference solver is restitution-free
+    at default material settings, types.py:36-59)."""
+    model = cube_scene()
+    assert model.params.substeps == 1 and model.params.contact_mode == "velocity"
+    state = model.initial_state()
+    state = state.replace(free_pose=state.free_pose.at[0, 2].set(0.1))
+    step = jax.jit(lambda s, c: make_step_fn(model)(s, c, sim_steps=1))
+    cmd = empty_cmd(0)
+    zs = []
+    for _ in range(150):
+        state = step(state, cmd)
+        zs.append(float(state.free_pose[0, 2]))
+    zs = np.asarray(zs)
+    impact = int(np.argmax(zs < 0.0205))
+    assert zs[impact:].max() < 0.021, zs[impact:].max()  # no rebound > 1mm
+    assert abs(zs[-1] - 0.02) < 2e-3  # rests at the surface (pen < 2mm)
+    assert float(jnp.abs(state.free_vel).max()) < 1e-3
+
+
 def test_friction_holds_on_slope():
     """Cube on a 10-degree slope with mu=0.3 (tan10 = 0.18 < 0.3) should
     stay put (slow creep from regularized friction allowed)."""
