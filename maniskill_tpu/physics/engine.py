@@ -39,7 +39,6 @@ from .spatial import (
     force_cross,
     motion_cross,
     point_force_to_wrench,
-    spatial_inertia_at_ref,
 )
 from ..kinematics.urdf import JOINT_REVOLUTE
 
@@ -628,76 +627,134 @@ def make_step_fn(model: SceneModel):
             point_forces(model, state, body_pos, body_quat, v_body, tables)
         )
         P = f_pos.shape[0]
-        # --- contact jacobian G (P, n_all, 3): ∂v_point/∂[q̇; u_j=[ω; v]] —
-        # one object for RHS projection (Gᵀf gives joint torques AND free
-        # wrenches) and the monolithic implicit coupling ΣGᵀDG. Dense in the
-        # dof axis; contraction dim 3P × n_all lowers to one batched matmul.
+        # --- contact jacobian in COMPONENT-ROW form: three (n_all, P) arrays
+        # Cx/Cy/Cz where C_c[d, p] is the c-component of dof d's point-
+        # velocity column at point p (∂v_point(p)/∂[q̇; u_j=[ω; v]]).
+        #
+        # TPU layout rationale (the round-2 perf regression, PLAN.md): the
+        # previous dense (P, n_all, 3) jacobian put tiny (15, 3) trailing
+        # dims in the tiled axes — a few % utilization of the (8, 128)
+        # f32 tile and ~4.4 ms/substep of relayout+einsum cost at K=4096
+        # (measured, tools/profile_substep.py). With P in the lane axis the
+        # same math is elementwise (n_all, P) builds plus (n_all,P)@(P,·)
+        # contractions — the MXU shape class. 15×136 tiles at ~50% util.
         if P > 0:
-            from ..math.rotations import skew
-
             rel_a = cpos - ref
-            parts = []
+            nx, ny, nz = cnrm[:, 0], cnrm[:, 1], cnrm[:, 2]
+            rows_x, rows_y, rows_z = [], [], []
             if nq > 0:
                 anc = jnp.asarray(model.ancestor_mask)  # (nb, nq)
-                sidemask = (
-                    jnp.asarray(A_robot_a) - jnp.asarray(A_robot_b)
-                ).T @ anc  # (P, nq): ±1 where joint k moves the point's side
-                colv = cols[None, :, 3:] + jnp.cross(
-                    cols[None, :, :3], rel_a[:, None, :]
-                )  # (P, nq, 3): joint k's point-velocity column v + ω×r
-                parts.append(sidemask[:, :, None] * colv)
+                sm = (
+                    anc.T @ (jnp.asarray(A_robot_a) - jnp.asarray(A_robot_b))
+                )  # (nq, P): ±1 where joint k moves the point's side
+                wx, wy, wz = cols[:, 0:1], cols[:, 1:2], cols[:, 2:3]  # (nq,1)
+                vx, vy, vz = cols[:, 3:4], cols[:, 4:5], cols[:, 5:6]
+                rx, ry, rz = rel_a[:, 0][None], rel_a[:, 1][None], rel_a[:, 2][None]
+                rows_x.append(sm * (vx + wy * rz - wz * ry))
+                rows_y.append(sm * (vy + wz * rx - wx * rz))
+                rows_z.append(sm * (vz + wx * ry - wy * rx))
             if n_free > 0:
-                sgn = (
-                    jnp.asarray(A_free_a) - jnp.asarray(A_free_b)
-                ).T  # (P, n_free)
-                arm = cpos[:, None, :] - state.free_pose[None, :, :3]
-                blk = jnp.concatenate(
-                    [
-                        skew(arm),  # dof-major: row i = e_i × arm (= ∂v/∂ω_i)
-                        jnp.broadcast_to(jnp.eye(3), arm.shape[:2] + (3, 3)),
-                    ],
-                    axis=2,
-                )  # (P, n_free, 6, 3)
-                blk = blk * sgn[:, :, None, None]
-                parts.append(blk.reshape(P, 6 * n_free, 3))
-            G = jnp.concatenate(parts, axis=1)  # (P, n_all, 3)
-            Gn = jnp.einsum("pdx,px->pd", G, cnrm)  # (P, n_all)
-            gf_vel = jnp.einsum("pdx,px->d", G, f_vel)
-            gf_pos = jnp.einsum("pdx,px->d", G, f_pos)
-            # implicit coupling h·Σ_p Gᵀ(d_t·T + d_n·nnᵀ)G, assembled as a
-            # sum of PSD pieces (T = I − nnᵀ tangential projector)
-            L_iso = jnp.einsum("p,pdx,pex->de", d_t, G, G)
-            L_nt = jnp.einsum("p,pd,pe->de", d_t, Gn, Gn)
-            L_nn = jnp.einsum("p,pd,pe->de", d_n, Gn, Gn)
-            lhs_contact = h * (L_iso - L_nt + L_nn)
+                sgn = jnp.asarray(A_free_a) - jnp.asarray(A_free_b)  # (F, P)
+                zero = jnp.zeros_like(sgn[0])
+                one = jnp.ones_like(sgn[0])
+                for j in range(n_free):  # static unroll; n_free is small
+                    s = sgn[j]
+                    ax = cpos[:, 0] - state.free_pose[j, 0]
+                    ay = cpos[:, 1] - state.free_pose[j, 1]
+                    az = cpos[:, 2] - state.free_pose[j, 2]
+                    # dofs [ω_x, ω_y, ω_z]: column e_i × arm
+                    rows_x.append(jnp.stack([zero, az * s, -ay * s]))
+                    rows_y.append(jnp.stack([-az * s, zero, ax * s]))
+                    rows_z.append(jnp.stack([ay * s, -ax * s, zero]))
+                    # dofs [v_x, v_y, v_z]: column e_i
+                    rows_x.append(jnp.stack([one * s, zero, zero]))
+                    rows_y.append(jnp.stack([zero, one * s, zero]))
+                    rows_z.append(jnp.stack([zero, zero, one * s]))
+            Cx = jnp.concatenate(rows_x, axis=0)  # (n_all, P)
+            Cy = jnp.concatenate(rows_y, axis=0)
+            Cz = jnp.concatenate(rows_z, axis=0)
+            Gn = Cx * nx[None] + Cy * ny[None] + Cz * nz[None]  # (n_all, P)
         else:
-            gf_vel = gf_pos = jnp.zeros(n_all)
-            lhs_contact = jnp.zeros((n_all, n_all))
+            Cx = Cy = Cz = Gn = jnp.zeros((n_all, 0))
 
         # ---------------- robot dynamics ----------------
+        # Mass matrix and bias in COMPONENT-ROW form — no (nb, 6, 6) spatial-
+        # inertia objects. Using s_kᵀ I_b s_l = m_b·u_k(b)·u_l(b) + ω_kᵀ I_w,b ω_l
+        # with u_k(b) = v_k + ω_k × c_b (dof k's point-velocity column at body
+        # b's CoM), the CRBA contraction becomes ancestry-masked (nq, nb)
+        # feature rows consumed by the same fused matmul as the contact
+        # coupling below. The former 6×6 pipeline (I_sp build + subtree
+        # suffix + einsum) measured 1.25 ms/substep at K=4096 — tiny (6, 6)
+        # trailing dims tile at a few % of the (8, 128) f32 tile.
         if nq > 0:
             com_w = body_pos + quat_apply(body_quat, robot_com) - ref
-            R = quat_to_matrix(body_quat)
-            I_com_w = R @ robot_Icom @ R.swapaxes(-1, -2)
-            I_sp = spatial_inertia_at_ref(robot_mass, com_w, I_com_w)  # (nb,6,6)
+            # rotation-matrix entries as (nb,) scalar rows straight from the
+            # quaternion (wxyz, rotations.quat_to_matrix formulas) — never
+            # materializing a (nb, 3, 3) object in the hot path
+            qw, qx, qy, qz = (
+                body_quat[:, 0], body_quat[:, 1],
+                body_quat[:, 2], body_quat[:, 3],
+            )
+            tx, ty, tz = 2.0 * qx, 2.0 * qy, 2.0 * qz
+            twx, twy, twz = tx * qw, ty * qw, tz * qw
+            txx, txy, txz = tx * qx, ty * qx, tz * qx
+            tyy, tyz, tzz = ty * qy, tz * qy, tz * qz
+            Rm = [
+                [1.0 - (tyy + tzz), txy - twz, txz + twy],
+                [txy + twz, 1.0 - (txx + tzz), tyz - twx],
+                [txz - twy, tyz + twx, 1.0 - (txx + tyy)],
+            ]
+            # world rotational inertia entries I_w = R I_com Rᵀ, as 6 unique
+            # (nb,) rows (I_com static per body)
+            Icom = robot_Icom  # (nb, 3, 3) static
+            B3 = [
+                [
+                    sum(Rm[c][a] * Icom[:, a, d] for a in range(3))
+                    for d in range(3)
+                ]
+                for c in range(3)
+            ]
+            Iw = [[None] * 3 for _ in range(3)]
+            for c in range(3):
+                for e in range(c, 3):
+                    Iw[c][e] = sum(B3[c][d] * Rm[e][d] for d in range(3))
+                    Iw[e][c] = Iw[c][e]
+            am = jnp.asarray(model.ancestor_mask).T  # (nq, nb): am[k,b]=k⊑b
+            w_, v_ = cols[:, :3], cols[:, 3:]  # (nq, 3)
+            cwx = com_w[:, 0][None]  # (1, nb)
+            cwy = com_w[:, 1][None]
+            cwz = com_w[:, 2][None]
+            # masked point-velocity columns at CoMs: U_c (nq, nb)
+            Ux = am * (v_[:, 0:1] + w_[:, 1:2] * cwz - w_[:, 2:3] * cwy)
+            Uy = am * (v_[:, 1:2] + w_[:, 2:3] * cwx - w_[:, 0:1] * cwz)
+            Uz = am * (v_[:, 2:3] + w_[:, 0:1] * cwy - w_[:, 1:2] * cwx)
+            # masked angular rows T_c and their I_w-contracted partners V_c
+            Tx = am * w_[:, 0:1]
+            Ty = am * w_[:, 1:2]
+            Tz = am * w_[:, 2:3]
+            Vx = Iw[0][0][None] * Tx + Iw[0][1][None] * Ty + Iw[0][2][None] * Tz
+            Vy = Iw[1][0][None] * Tx + Iw[1][1][None] * Ty + Iw[1][2][None] * Tz
+            Vz = Iw[2][0][None] * Tx + Iw[2][1][None] * Ty + Iw[2][2][None] * Tz
+            mrow = robot_mass[None]  # (1, nb)
 
-            # Composite-rigid-body contraction: M = Σ_b J_bᵀ I_b J_b. Since
-            # J_b = (ancestor-masked joint columns),
-            # M[k,l] = s_kᵀ (Σ_{b ⊇ deeper(k,l)} I_b) s_l — suffix-accumulate
-            # I up the tree once (CRBA), then one (nq,6)@(6,nq) matmul + the
-            # ancestry mask. ~100x fewer FLOPs than the dense triple einsum.
-            Xb = I_sp
-            comp = [Xb[b] for b in range(nq)]
-            for b in range(nq - 1, -1, -1):
-                par = int(spec.parent[b])
-                if par >= 0:
-                    comp[par] = comp[par] + comp[b]
-            Ccomp = jnp.stack(comp)  # (nb, 6, 6) subtree composites
-            tmp = jnp.einsum("bij,bj->bi", Ccomp, cols)  # (nq, 6)
-            Pm = cols @ tmp.T  # (nq, nq): P[k,l] = s_k · (C_l s_l)
-            Rt = jnp.asarray(model.ancestor_mask).T  # Rt[k,l]=1 iff k ⊑ l
-            half_m = Rt * Pm
-            M_aug = half_m + half_m.T - jnp.diag(jnp.diagonal(Pm))
+            def I_apply(w6):
+                """Spatial inertia apply I_sp @ w6 without the 6×6 object:
+                z = u + ω×c; force = m z; torque = I_w ω + m c×z."""
+                w3, u3 = w6[:, :3], w6[:, 3:]
+                z = u3 + jnp.cross(w3, com_w)
+                Iww = jnp.stack(
+                    [
+                        Iw[c][0] * w3[:, 0]
+                        + Iw[c][1] * w3[:, 1]
+                        + Iw[c][2] * w3[:, 2]
+                        for c in range(3)
+                    ],
+                    axis=-1,
+                )
+                torque = Iww + robot_mass[:, None] * jnp.cross(com_w, z)
+                return jnp.concatenate(
+                    [torque, robot_mass[:, None] * z], axis=-1
+                )
 
             # Coriolis bias a_bias = J̇ q̇, using the Featherstone identity
             # ṡ_j = v_{body(j)} ×̂ s_j (a joint's Plücker column is fixed in
@@ -705,10 +762,7 @@ def make_step_fn(model: SceneModel):
             # compile-time blowup under vmap on CPU XLA).
             sdot = motion_cross(v_body, cols)  # (nq, 6)
             a_bias = prefix_sum(sdot * state.qvel[:, None])  # (nb, 6)
-            f_cori = I_sp @ a_bias[..., None]
-            f_cori = f_cori[..., 0] + force_cross(
-                v_body, (I_sp @ v_body[..., None])[..., 0]
-            )
+            f_cori = I_apply(a_bias) + force_cross(v_body, I_apply(v_body))
             # gravity wrench per body (reference parity: robot links have
             # gravity disabled by default — balance_passive_force,
             # base_agent.py:272-276)
@@ -756,31 +810,82 @@ def make_step_fn(model: SceneModel):
             )
 
         # ---------------- monolithic assembly + group solves --------------
-        # LHS = blockdiag(M_robot + drive diag, M6_j…) + h·ΣGᵀDG; one SPD
-        # solve per static coupling group, shared Cholesky for the
-        # split-impulse velocity/position passes.
-        lhs_full = lhs_contact
-        rhs_vel = gf_vel
-        rhs_pos = gf_pos
+        # ONE fused feature matmul builds the entire LHS core — robot mass
+        # matrix (componentized CRBA: M[k,l] = Σ_b m_b u_k·u_l + ω_kᵀI_w ω_l
+        # via the masked U/T/V rows) PLUS the implicit contact coupling
+        # h·Σ_p G_pᵀ(d_t·I + (d_n−d_t)nnᵀ)G_p via the C/Gn rows — AND both
+        # split-impulse RHS projections Gᵀf (two extra rows carrying the
+        # point forces in the C-feature slots). Contraction dim 6·nb + 4·P
+        # sits in the TPU lane axis; output is a dense (n_all+2, n_all).
+        h_dt = h * d_t
+        h_nn = h * (d_n - d_t)
+        q_feats, w_feats = [], []
         if nq > 0:
-            lhs_full = lhs_full.at[:nq, :nq].add(
-                M_aug + jnp.diag(diag) + 1e-6 * jnp.eye(nq)
-            )
-            rhs_vel = rhs_vel.at[:nq].add(rhs_robot)
-            rhs_pos = rhs_pos.at[:nq].add(rhs_robot)
+            zfree = jnp.zeros((6 * n_free, am.shape[1]))
+
+            def _pad(x):
+                return (
+                    jnp.concatenate([x, zfree], axis=0) if n_free > 0 else x
+                )
+
+            q_feats += [
+                _pad(Ux * mrow), _pad(Uy * mrow), _pad(Uz * mrow),
+                _pad(Tx), _pad(Ty), _pad(Tz),
+            ]
+            w_feats += [
+                _pad(Ux), _pad(Uy), _pad(Uz),
+                _pad(Vx), _pad(Vy), _pad(Vz),
+            ]
+        q_feats += [
+            Cx * h_dt[None], Cy * h_dt[None], Cz * h_dt[None],
+            Gn * h_nn[None],
+        ]
+        w_feats += [Cx, Cy, Cz, Gn]
+        Q = jnp.concatenate(q_feats, axis=1)
+        Wt = jnp.concatenate(w_feats, axis=1)
+        Pw = Cx.shape[1]
+        zm = jnp.zeros(Q.shape[1] - 4 * Pw)
+        zp = jnp.zeros(Pw)
+        fv_row = jnp.concatenate(
+            [zm, f_vel[:, 0], f_vel[:, 1], f_vel[:, 2], zp]
+        )
+        fp_row = jnp.concatenate(
+            [zm, f_pos[:, 0], f_pos[:, 1], f_pos[:, 2], zp]
+        )
+        Qfull = jnp.concatenate([Q, fv_row[None], fp_row[None]], axis=0)
+        out = Qfull @ Wt.T  # (n_all + 2, n_all)
+        lhs_full = out[:n_all]
+        gf_vel, gf_pos = out[n_all], out[n_all + 1]
+
+        diag_parts = []
+        rhs_parts = []
+        if nq > 0:
+            diag_parts.append(diag + 1e-6)
+            rhs_parts.append(rhs_robot)
+        if n_free > 0:
+            diag_parts.append(jnp.full((6 * n_free,), 1e-9))
+            rhs_parts.append(Wf.reshape(-1))
+        lhs_full = lhs_full + jnp.diag(jnp.concatenate(diag_parts))
         if n_free > 0:
             for j in range(n_free):  # static unroll; n_free is small
                 sl = slice(nq + 6 * j, nq + 6 * j + 6)
-                lhs_full = lhs_full.at[sl, sl].add(M6[j] + 1e-9 * jnp.eye(6))
-            rhs_vel = rhs_vel.at[nq:].add(Wf.reshape(-1))
-            rhs_pos = rhs_pos.at[nq:].add(Wf.reshape(-1))
-        dv_vel = jnp.zeros(n_all)
-        dv_pos = jnp.zeros(n_all)
-        for gc in group_cols:  # static index sets → static gathers
-            A = lhs_full[np.ix_(gc, gc)]
-            xv, xp = solve_psd_pair(A, h * rhs_vel[gc], h * rhs_pos[gc])
-            dv_vel = dv_vel.at[gc].set(xv)
-            dv_pos = dv_pos.at[gc].set(xp)
+                lhs_full = lhs_full.at[sl, sl].add(M6[j])
+        rhs_cat = jnp.concatenate(rhs_parts)
+        rhs_vel = gf_vel + rhs_cat
+        rhs_pos = gf_pos + rhs_cat
+        if len(group_cols) == 1 and len(group_cols[0]) == n_all:
+            # single fully-coupled group (the common case): no gather/scatter
+            dv_vel, dv_pos = solve_psd_pair(
+                lhs_full, h * rhs_vel, h * rhs_pos
+            )
+        else:
+            dv_vel = jnp.zeros(n_all)
+            dv_pos = jnp.zeros(n_all)
+            for gc in group_cols:  # static index sets → static gathers
+                A = lhs_full[np.ix_(gc, gc)]
+                xv, xp = solve_psd_pair(A, h * rhs_vel[gc], h * rhs_pos[gc])
+                dv_vel = dv_vel.at[gc].set(xv)
+                dv_pos = dv_pos.at[gc].set(xp)
 
         # ---------------- integration ----------------
         if nq > 0:
