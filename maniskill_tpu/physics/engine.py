@@ -819,43 +819,26 @@ def make_step_fn(model: SceneModel):
         # sits in the TPU lane axis; output is a dense (n_all+2, n_all).
         h_dt = h * d_t
         h_nn = h * (d_n - d_t)
-        q_feats, w_feats = [], []
+        # contact coupling + Gᵀf as separate small matmuls over the SAME
+        # C/Gn operands (XLA reuses the materialized rows; concatenating
+        # them into one wide fused operand doubled the HBM traffic and
+        # measured slower)
+        F2 = jnp.stack([f_vel, f_pos], axis=-1)  # (P, 3, 2)
+        gf2 = Cx @ F2[:, 0] + Cy @ F2[:, 1] + Cz @ F2[:, 2]  # (n_all, 2)
+        gf_vel, gf_pos = gf2[:, 0], gf2[:, 1]
+        lhs_full = (
+            (Cx * h_dt[None]) @ Cx.T
+            + (Cy * h_dt[None]) @ Cy.T
+            + (Cz * h_dt[None]) @ Cz.T
+            + (Gn * h_nn[None]) @ Gn.T
+        )
         if nq > 0:
-            zfree = jnp.zeros((6 * n_free, am.shape[1]))
-
-            def _pad(x):
-                return (
-                    jnp.concatenate([x, zfree], axis=0) if n_free > 0 else x
-                )
-
-            q_feats += [
-                _pad(Ux * mrow), _pad(Uy * mrow), _pad(Uz * mrow),
-                _pad(Tx), _pad(Ty), _pad(Tz),
-            ]
-            w_feats += [
-                _pad(Ux), _pad(Uy), _pad(Uz),
-                _pad(Vx), _pad(Vy), _pad(Vz),
-            ]
-        q_feats += [
-            Cx * h_dt[None], Cy * h_dt[None], Cz * h_dt[None],
-            Gn * h_nn[None],
-        ]
-        w_feats += [Cx, Cy, Cz, Gn]
-        Q = jnp.concatenate(q_feats, axis=1)
-        Wt = jnp.concatenate(w_feats, axis=1)
-        Pw = Cx.shape[1]
-        zm = jnp.zeros(Q.shape[1] - 4 * Pw)
-        zp = jnp.zeros(Pw)
-        fv_row = jnp.concatenate(
-            [zm, f_vel[:, 0], f_vel[:, 1], f_vel[:, 2], zp]
-        )
-        fp_row = jnp.concatenate(
-            [zm, f_pos[:, 0], f_pos[:, 1], f_pos[:, 2], zp]
-        )
-        Qfull = jnp.concatenate([Q, fv_row[None], fp_row[None]], axis=0)
-        out = Qfull @ Wt.T  # (n_all + 2, n_all)
-        lhs_full = out[:n_all]
-        gf_vel, gf_pos = out[n_all], out[n_all + 1]
+            # componentized CRBA mass matrix: one (nq, 6·nb) feature matmul
+            Qm = jnp.concatenate(
+                [Ux * mrow, Uy * mrow, Uz * mrow, Tx, Ty, Tz], axis=1
+            )
+            Wm = jnp.concatenate([Ux, Uy, Uz, Vx, Vy, Vz], axis=1)
+            lhs_full = lhs_full.at[:nq, :nq].add(Qm @ Wm.T)
 
         diag_parts = []
         rhs_parts = []
