@@ -1,0 +1,1192 @@
+"""Whole-substep Pallas TPU mega-kernel.
+
+The XLA (vmap) physics path is HBM-bound: every per-point / per-dof
+intermediate materializes as a (K, small, small) array whose tiny trailing
+dims tile at a few percent of the (8, 128) f32 tile, and the contact-coupling
+matmul operands alone move ~300 MB/substep at K=4096 (measured,
+tools/profile_substep.py — 3.5-4.8 ms/substep vs 0.36 ms for FK+contacts).
+
+This kernel runs the ENTIRE substep loop for a block of 1024 envs inside
+VMEM: every per-env scalar is one (8, 128) f32 tile (env = sublane x lane),
+per-point quantities are (n_pts, 8, 128) stacks processed chunk-wise, and
+HBM traffic collapses to state-in / state-out per control step (~3 KB/env
+vs ~1 MB). This is the design PLAN.md item 1 validated in round 1 with
+``solve_psd_pallas`` (env-last layout, 1.64x single-op; the win only
+materializes when producers/consumers share the kernel — this kernel).
+
+Semantics mirror ``engine.substep`` (velocity-mode contact, split impulse,
+warm-started impulses, monolithic coupled solve) — validated against the
+XLA path in tests/test_megakernel.py. TPU-native analogue of the PhysX GPU
+solver hot loop the reference drives via ``px.step()``
+(mani_skill/envs/scene.py:374; gpu sim config types.py:36-59).
+
+Supported model class (``supports(model)``): one robot tree + free bodies,
+velocity contact mode, narrowphase fns in {plane_box, box_box_onesided,
+box_box, plane_sphere, sphere_box, box_sphere, sphere_sphere}. Everything
+else falls back to the XLA path.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .model import BodyKind, DriveCmd, SceneModel, SimState
+from ..kinematics.urdf import JOINT_REVOLUTE
+
+EB = 1024  # envs per grid block = one (8, 128) f32 tile per scalar
+_SUPPORTED_FNS = {
+    "plane_box",
+    "box_box_onesided",
+    "box_box",
+    "plane_sphere",
+    "sphere_box",
+    "box_sphere",
+    "sphere_sphere",
+}
+_CHUNK = 32  # max contact points processed at once (VMEM transient cap)
+
+
+# ---------------------------------------------------------------------------
+# component math on (8, 128) tiles (and (n, 8, 128) stacks)
+# ---------------------------------------------------------------------------
+
+
+def _cross(a, b):
+    ax, ay, az = a
+    bx, by, bz = b
+    return (ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx)
+
+
+def _dot(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def _add(a, b):
+    return (a[0] + b[0], a[1] + b[1], a[2] + b[2])
+
+
+def _sub(a, b):
+    return (a[0] - b[0], a[1] - b[1], a[2] - b[2])
+
+
+def _scale(a, s):
+    return (a[0] * s, a[1] * s, a[2] * s)
+
+
+def _qmul(a, b):
+    aw, ax, ay, az = a
+    bw, bx, by, bz = b
+    return (
+        aw * bw - ax * bx - ay * by - az * bz,
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by - ax * bz + ay * bw + az * bx,
+        aw * bz + ax * by - ay * bx + az * bw,
+    )
+
+
+def _qapply(q, v):
+    """v + 2 w (u x v) + 2 u x (u x v) — mirrors rotations.quat_apply."""
+    w = q[0]
+    u = (q[1], q[2], q[3])
+    uv = _cross(u, v)
+    uuv = _cross(u, uv)
+    return (
+        v[0] + 2.0 * (w * uv[0] + uuv[0]),
+        v[1] + 2.0 * (w * uv[1] + uuv[1]),
+        v[2] + 2.0 * (w * uv[2] + uuv[2]),
+    )
+
+
+def _qconj(q):
+    return (q[0], -q[1], -q[2], -q[3])
+
+
+def _qexp(v):
+    """Rotation vector -> quaternion, mirrors rotations.quat_exp."""
+    sq = v[0] * v[0] + v[1] * v[1] + v[2] * v[2]
+    angle = jnp.sqrt(sq + 1e-18)
+    half = 0.5 * angle
+    k = jnp.sin(half) / angle
+    return (jnp.cos(half), v[0] * k, v[1] * k, v[2] * k)
+
+
+def _qnormalize(q):
+    n = jnp.sqrt(q[0] * q[0] + q[1] * q[1] + q[2] * q[2] + q[3] * q[3])
+    inv = 1.0 / jnp.maximum(n, 1e-12)
+    return (q[0] * inv, q[1] * inv, q[2] * inv, q[3] * inv)
+
+
+def _stk(rows):
+    """Stack a python list of (8,128) tiles into an (n, 8, 128) array."""
+    return jnp.stack(rows, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# static plan
+# ---------------------------------------------------------------------------
+
+
+def supports(model: SceneModel) -> bool:
+    """Whether this model's scene class is covered by the mega-kernel."""
+    if model.params.contact_mode != "velocity":
+        return False
+    for (fn, _npts, _ia, _ib, _mu) in model.pair_groups:
+        if fn.__name__ not in _SUPPORTED_FNS:
+            return False
+    for g in model.geoms:
+        if g.kind == BodyKind.ROBOT_LINK and g.body < -1:
+            return False
+    return True
+
+
+class _Plan:
+    """Static row layout + per-point metadata for one model."""
+
+    def __init__(self, model: SceneModel):
+        from . import engine as eng
+
+        self.model = model
+        nq = model.nq
+        F = model.n_free
+        self.nq, self.F = nq, F
+        self.n_all = nq + 6 * F
+        spec = model.robot
+        self.nb = spec.nb if spec else 0
+        self.parent = [int(p) for p in spec.parent] if spec else []
+        G = len(model.geoms)
+        self.G = G
+        nk = model.n_kin if hasattr(model, "n_kin") else (
+            int(model.initial_state().kin_pose.shape[0])
+        )
+        self.nk = nk
+
+        # per-point static metadata (same trace the XLA path uses)
+        (A_ra, A_rb, A_fa, A_fb) = eng._assignment_tables(model)
+        (_, _, _, cmu, _cd, ck, _cm, meta_a, meta_b) = eng._trace_metadata(
+            model
+        )
+        self.P = len(meta_a)
+        self.cmu = np.asarray(cmu, np.float32)
+        self.ck = np.asarray(ck, np.float32)
+        anc = np.asarray(model.ancestor_mask, np.float32)  # (nb, nq)
+        self.anc = anc
+        self.sm = (anc.T @ (A_ra - A_rb)).astype(np.float32)  # (nq, P)
+        self.sgn_free = (A_fa - A_fb).astype(np.float32)  # (F, P)
+        # per-point side body indices (-1 = none)
+        def _side_idx(meta, kind):
+            out = np.full(self.P, -1, np.int64)
+            for p, (kd, b) in enumerate(meta):
+                if kd == kind and b >= 0:
+                    out[p] = b
+            return out
+
+        self.ra_idx = _side_idx(meta_a, BodyKind.ROBOT_LINK)
+        self.rb_idx = _side_idx(meta_b, BodyKind.ROBOT_LINK)
+        self.fa_idx = _side_idx(meta_a, BodyKind.FREE)
+        self.fb_idx = _side_idx(meta_b, BodyKind.FREE)
+
+        # input plane rows
+        off = 0
+
+        def take(n):
+            nonlocal off
+            sl = (off, off + n)
+            off += n
+            return sl
+
+        self.i_qpos = take(nq)
+        self.i_qvel = take(nq)
+        self.i_free_pose = take(7 * F)
+        self.i_free_vel = take(6 * F)
+        self.i_kin = take(7 * nk)
+        self.i_gsize = take(3 * G)
+        self.i_lam = take(self.P)
+        self.i_lamt = take(3 * self.P)
+        self.i_tq = take(nq)
+        self.i_tv = take(nq)
+        self.i_qf = take(nq)
+        self.R_in = off
+
+        off = 0
+        self.o_qpos = take(nq)
+        self.o_qvel = take(nq)
+        self.o_free_pose = take(7 * F)
+        self.o_free_vel = take(6 * F)
+        self.o_lam = take(self.P)
+        self.o_lamt = take(3 * self.P)
+        # aux rows (last-substep contact forces + FK, planner fast path)
+        self.o_fpt = take(3 * self.P)
+        self.o_bpos = take(3 * self.nb)
+        self.o_bquat = take(4 * self.nb)
+        self.o_axis = take(3 * self.nb)
+        self.R_out = off
+
+
+# ---------------------------------------------------------------------------
+# packing (caller side, plain XLA)
+# ---------------------------------------------------------------------------
+
+
+def _pack(plan: _Plan, state: SimState, cmd: DriveCmd, K: int):
+    """Batched (K-leading) state/cmd -> (R_in, K//128, 128) f32 plane."""
+    parts = [
+        state.qpos, state.qvel,
+        state.free_pose.reshape(K, -1), state.free_vel.reshape(K, -1),
+        state.kin_pose.reshape(K, -1), state.geom_size.reshape(K, -1),
+        state.contact_lam,
+        state.contact_lam_t.transpose(0, 2, 1).reshape(K, -1),
+        cmd.target_qpos, cmd.target_qvel, cmd.qf,
+    ]
+    flat = jnp.concatenate([p.astype(jnp.float32) for p in parts], axis=1)
+    return flat.T.reshape(plan.R_in, K // 128, 128)
+
+
+def _unpack(plan: _Plan, out, K: int, state: SimState):
+    """(R_out, K//128, 128) plane -> (new SimState, aux dict)."""
+    flat = out.reshape(plan.R_out, K).T  # (K, R_out)
+
+    def rows(sl):
+        return flat[:, sl[0]:sl[1]]
+
+    nq, F, P, nb = plan.nq, plan.F, plan.P, plan.nb
+    new_state = state.replace(
+        qpos=rows(plan.o_qpos),
+        qvel=rows(plan.o_qvel),
+        free_pose=rows(plan.o_free_pose).reshape(K, F, 7),
+        free_vel=rows(plan.o_free_vel).reshape(K, F, 6),
+        contact_lam=rows(plan.o_lam),
+        contact_lam_t=rows(plan.o_lamt).reshape(K, 3, P).transpose(0, 2, 1),
+    )
+    aux = dict(
+        f_pt=rows(plan.o_fpt).reshape(K, 3, P).transpose(0, 2, 1),
+        body_pos=rows(plan.o_bpos).reshape(K, 3, nb).transpose(0, 2, 1),
+        body_quat=rows(plan.o_bquat).reshape(K, 4, nb).transpose(0, 2, 1),
+        axis_w=rows(plan.o_axis).reshape(K, 3, nb).transpose(0, 2, 1),
+    )
+    return new_state, aux
+
+
+# ---------------------------------------------------------------------------
+# kernel body
+# ---------------------------------------------------------------------------
+
+
+def _build_kernel(plan: _Plan, n_substeps: int, eb: int = EB):
+    model = plan.model
+    spec = model.robot
+    params = model.params
+    nq, F, P, nb, nk, G = plan.nq, plan.F, plan.P, plan.nb, plan.nk, plan.G
+    n_all = plan.n_all
+    h = params.dt / params.substeps
+    beta = params.contact_beta
+    margin = params.contact_margin
+    bias_max = params.contact_bias_max
+    relax = params.contact_relax
+    vreg = params.friction_vreg
+    gvec = np.asarray(params.gravity, np.float32)
+    base = np.asarray(model.robot_base_pose, np.float32)
+    ref = base[:3] if spec else np.zeros(3, np.float32)
+    grav_scale = 1.0 if model.robot_gravity else 0.0
+
+    if spec:
+        # FK quaternion pre-compose cache (chain._fk_unrolled)
+        from ..kinematics.urdf import _quat_mul as _np_qm
+
+        Aq, Bq = [], []
+        for i in range(nb):
+            jq = np.asarray(spec.joint_quat[i], np.float32)
+            Aq.append(jq)
+            Bq.append(
+                _np_qm(jq, np.concatenate([[0.0], spec.axis[i]])).astype(
+                    np.float32
+                )
+            )
+        joint_pos = np.asarray(spec.joint_pos, np.float32)
+        jaxis = np.asarray(spec.axis, np.float32)
+        jtype = np.asarray(spec.joint_type)
+        mass_b = np.asarray(spec.mass, np.float32)
+        com_b = np.asarray(spec.com, np.float32)
+        Icom_b = np.asarray(model.robot_inertia_com, np.float32)
+        kp = np.asarray(model.drive_kp, np.float32)
+        kd = np.asarray(model.drive_kd, np.float32)
+        flim = np.asarray(model.drive_force_limit, np.float32)
+        jdamp = np.asarray(spec.joint_damping, np.float32)
+        qlim = np.asarray(model.robot_qlim, np.float32)
+    free_mass = np.asarray(model.free_mass, np.float32)
+    free_inertia = np.asarray(model.free_inertia, np.float32)
+
+    # geom static tables
+    goff_p = np.stack([g.offset_p for g in model.geoms]).astype(np.float32) \
+        if G else np.zeros((0, 3), np.float32)
+    goff_q = np.stack([g.offset_q for g in model.geoms]).astype(np.float32) \
+        if G else np.zeros((0, 4), np.float32)
+    static_pose = np.asarray(model.static_pose, np.float32).reshape(-1, 7)
+
+    d_n0_np = plan.ck * h / beta  # (P,) impulse gain
+    lim_k = params.joint_limit_stiffness
+    lim_d = params.joint_limit_damping
+
+    CORNER_SIGNS = np.array(
+        [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
+        dtype=np.float32,
+    )
+
+    # Pallas kernels cannot capture array constants — static per-point
+    # tables ride in as one broadcast (C_rows, P, 128) input plane:
+    # rows [sm(nq); sgn_free(F); cmu; d_n0; corner-sign x/y/z (tiled)]
+    P_ = plan.P
+    reps = max(1, -(-P_ // 8))
+    tiled_signs = np.tile(CORNER_SIGNS, (reps, 1))[:P_]  # (P, 3)
+    const_rows = [plan.sm[k] for k in range(nq)]
+    const_rows += [plan.sgn_free[j] for j in range(F)]
+    const_rows += [plan.cmu, d_n0_np,
+                   tiled_signs[:, 0], tiled_signs[:, 1], tiled_signs[:, 2]]
+    const_plane = np.broadcast_to(
+        np.stack(const_rows).astype(np.float32)[:, :, None],
+        (len(const_rows), P_, 128),
+    ).copy() if const_rows else np.zeros((1, max(P_, 1), 128), np.float32)
+    C_ROWS = const_plane.shape[0]
+    _r_cmu = nq + F
+    _r_dn0 = nq + F + 1
+    _r_cs = nq + F + 2
+
+    def kernel(in_ref, cref, out_ref):
+        def pcst(r):
+            """Per-point constant row -> (P, 1, 128) broadcastable."""
+            return cref[r][:, None, :]
+
+        def row(i):
+            return in_ref[i]
+
+        def rows3(sl, n):
+            """3 component stacks (n,8,128) laid out [x-block; y; z]."""
+            o = sl[0]
+            return (
+                in_ref[o:o + n], in_ref[o + n:o + 2 * n],
+                in_ref[o + 2 * n:o + 3 * n],
+            )
+
+        qpos0 = tuple(row(plan.i_qpos[0] + i) for i in range(nq))
+        qvel0 = tuple(row(plan.i_qvel[0] + i) for i in range(nq))
+        fpose0 = tuple(row(plan.i_free_pose[0] + i) for i in range(7 * F))
+        fvel0 = tuple(row(plan.i_free_vel[0] + i) for i in range(6 * F))
+        kin = tuple(row(plan.i_kin[0] + i) for i in range(7 * nk))
+        gsz = tuple(row(plan.i_gsize[0] + i) for i in range(3 * G))
+        lam0 = in_ref[plan.i_lam[0]:plan.i_lam[1]]  # (P, 8, 128)
+        lamt0 = rows3(plan.i_lamt, P)
+        tq = tuple(row(plan.i_tq[0] + i) for i in range(nq))
+        tv = tuple(row(plan.i_tv[0] + i) for i in range(nq))
+        qf = tuple(row(plan.i_qf[0] + i) for i in range(nq))
+
+        def geom_size(g):
+            return (gsz[3 * g], gsz[3 * g + 1], gsz[3 * g + 2])
+
+        zero = jnp.zeros((eb // 128, 128), jnp.float32)
+        one = jnp.ones((eb // 128, 128), jnp.float32)
+
+        def substep(carry):
+            (qpos, qvel, fpose, fvel, lam, lamt) = carry
+
+            # ---------------- FK (unrolled, static tree) ----------------
+            body_p, body_q, axis_w = [], [], []
+            for i in range(nb):
+                par = plan.parent[i]
+                pp = (
+                    (one * base[0], one * base[1], one * base[2])
+                    if par < 0 else body_p[par]
+                )
+                pq = (
+                    (one * base[3], one * base[4], one * base[5],
+                     one * base[6])
+                    if par < 0 else body_q[par]
+                )
+                jp = joint_pos[i]
+                fp = _add(pp, _qapply(pq, (one * jp[0], one * jp[1],
+                                           one * jp[2])))
+                ax_l = (one * jaxis[i][0], one * jaxis[i][1],
+                        one * jaxis[i][2])
+                if int(jtype[i]) == JOINT_REVOLUTE:
+                    half = 0.5 * qpos[i]
+                    c, s = jnp.cos(half), jnp.sin(half)
+                    m = tuple(c * Aq[i][j] + s * Bq[i][j] for j in range(4))
+                    bq = _qmul(pq, m)
+                    bp = fp
+                    axis_w.append(_qapply(bq, ax_l))
+                else:
+                    bq = _qmul(pq, tuple(one * Aq[i][j] for j in range(4)))
+                    aw = _qapply(bq, ax_l)
+                    bp = _add(fp, _scale(aw, qpos[i]))
+                    axis_w.append(aw)
+                body_p.append(bp)
+                body_q.append(bq)
+
+            # joint Plücker columns at ref + per-body spatial velocities
+            cols_w, cols_v = [], []  # per dof: angular, linear 3-tuples
+            for k in range(nq):
+                anchor = _sub(body_p[k], (one * ref[0], one * ref[1],
+                                          one * ref[2]))
+                if int(jtype[k]) == JOINT_REVOLUTE:
+                    cols_w.append(axis_w[k])
+                    cols_v.append(_cross(anchor, axis_w[k]))
+                else:
+                    cols_w.append((zero, zero, zero))
+                    cols_v.append(axis_w[k])
+            vb_w, vb_v = [], []  # per body prefix sums
+            for b in range(nq):
+                par = plan.parent[b]
+                tw = _scale(cols_w[b], qvel[b])
+                tvv = _scale(cols_v[b], qvel[b])
+                if par >= 0:
+                    tw = _add(tw, vb_w[par])
+                    tvv = _add(tvv, vb_v[par])
+                vb_w.append(tw)
+                vb_v.append(tvv)
+
+            # ---------------- geom world poses ----------------
+            gpos, gquat = [], []
+            for gi, g in enumerate(model.geoms):
+                op = goff_p[gi]
+                oq = goff_q[gi]
+                if g.kind == BodyKind.ROBOT_LINK:
+                    if g.body >= 0:
+                        pp, pq = body_p[g.body], body_q[g.body]
+                    else:
+                        pp = (one * base[0], one * base[1], one * base[2])
+                        pq = (one * base[3], one * base[4], one * base[5],
+                              one * base[6])
+                elif g.kind == BodyKind.FREE:
+                    j = g.body
+                    pp = (fpose[7 * j], fpose[7 * j + 1], fpose[7 * j + 2])
+                    pq = (fpose[7 * j + 3], fpose[7 * j + 4],
+                          fpose[7 * j + 5], fpose[7 * j + 6])
+                elif g.kind == BodyKind.KINEMATIC:
+                    j = g.body
+                    pp = (kin[7 * j], kin[7 * j + 1], kin[7 * j + 2])
+                    pq = (kin[7 * j + 3], kin[7 * j + 4], kin[7 * j + 5],
+                          kin[7 * j + 6])
+                else:  # STATIC
+                    sp = static_pose[g.body]
+                    pp = (one * sp[0], one * sp[1], one * sp[2])
+                    pq = (one * sp[3], one * sp[4], one * sp[5], one * sp[6])
+                gpos.append(_add(pp, _qapply(pq, (one * op[0], one * op[1],
+                                                  one * op[2]))))
+                gquat.append(_qmul(pq, (one * oq[0], one * oq[1],
+                                        one * oq[2], one * oq[3])))
+
+            # ---------------- narrowphase (all P points) ----------------
+            # computed into (P, 8, 128) component stacks, mirroring the
+            # engine's per-group vmapped evaluation order exactly
+            cpos_c = [[], [], []]
+            cnrm_c = [[], [], []]
+            cdep_l = []
+
+            def rep(t, n):
+                return [t] * n
+
+            def sdf_box(plx, ply, plz, hx, hy, hz):
+                """point-in-box SDF + local outward normal (stacked),
+                mirrors shapes._point_box_sdf."""
+                qx = jnp.abs(plx) - hx
+                qy = jnp.abs(ply) - hy
+                qz = jnp.abs(plz) - hz
+                ox = jnp.maximum(qx, 0.0)
+                oy = jnp.maximum(qy, 0.0)
+                oz = jnp.maximum(qz, 0.0)
+                d_out = jnp.sqrt(ox * ox + oy * oy + oz * oz + 1e-18)
+                qmax = jnp.maximum(qx, jnp.maximum(qy, qz))
+                d_in = jnp.minimum(qmax, 0.0)
+                sdf = d_out + d_in
+                inv = 1.0 / jnp.sqrt(ox * ox + oy * oy + oz * oz + 1e-18)
+                nox = ox * jnp.sign(plx) * inv
+                noy = oy * jnp.sign(ply) * inv
+                noz = oz * jnp.sign(plz) * inv
+                ohx = (qx >= qmax).astype(jnp.float32)
+                ohy = (qy >= qmax).astype(jnp.float32)
+                ohz = (qz >= qmax).astype(jnp.float32)
+                ohs = 1.0 / (ohx + ohy + ohz)
+                nix = ohx * ohs * jnp.sign(plx)
+                niy = ohy * ohs * jnp.sign(ply)
+                niz = ohz * ohs * jnp.sign(plz)
+                outside = d_out > 1e-9
+                return sdf, (
+                    jnp.where(outside, nox, nix),
+                    jnp.where(outside, noy, niy),
+                    jnp.where(outside, noz, niz),
+                )
+
+            def corners_in_box(ia_l, ib_l):
+                """8 corners of each box A vs box B (stacked over pairs).
+                Returns pos, n_world (B->A), depth stacks of len 8*n_pairs."""
+                npair = len(ia_l)
+                pa = [_stk([gpos[i][c] for i in ia_l for _ in range(8)])
+                      for c in range(3)]
+                qa = [_stk([gquat[i][c] for i in ia_l for _ in range(8)])
+                      for c in range(4)]
+                sa = [_stk([geom_size(i)[c] for i in ia_l for _ in range(8)])
+                      for c in range(3)]
+                pb = [_stk([gpos[i][c] for i in ib_l for _ in range(8)])
+                      for c in range(3)]
+                qb = [_stk([gquat[i][c] for i in ib_l for _ in range(8)])
+                      for c in range(4)]
+                sb = [_stk([geom_size(i)[c] for i in ib_l for _ in range(8)])
+                      for c in range(3)]
+                sgc = [pcst(_r_cs + c)[:8 * npair] for c in range(3)]
+                corner = _add(
+                    tuple(pa),
+                    _qapply(tuple(qa), (sa[0] * sgc[0], sa[1] * sgc[1],
+                                        sa[2] * sgc[2])),
+                )
+                loc = _qapply(_qconj(tuple(qb)), _sub(corner, tuple(pb)))
+                sdf, n_loc = sdf_box(loc[0], loc[1], loc[2],
+                                     sb[0], sb[1], sb[2])
+                n_w = _qapply(tuple(qb), n_loc)
+                return corner, n_w, -sdf
+
+            for (fn, npts, ia_arr, ib_arr, _mu) in model.pair_groups:
+                name = fn.__name__
+                ia_l = [int(i) for i in ia_arr]
+                ib_l = [int(i) for i in ib_arr]
+                npair = len(ia_l)
+                if name == "plane_box":
+                    # world plane normal; 8 box corners per pair
+                    pa = [_stk([gpos[i][c] for i in ia_l for _ in range(8)])
+                          for c in range(3)]
+                    qa = [_stk([gquat[i][c] for i in ia_l for _ in range(8)])
+                          for c in range(4)]
+                    n = _qapply(tuple(qa), (0.0 * pa[0], 0.0 * pa[0],
+                                            jnp.ones_like(pa[0])))
+                    pb = [_stk([gpos[i][c] for i in ib_l for _ in range(8)])
+                          for c in range(3)]
+                    qb = [_stk([gquat[i][c] for i in ib_l for _ in range(8)])
+                          for c in range(4)]
+                    sb = [_stk([geom_size(i)[c] for i in ib_l
+                                for _ in range(8)]) for c in range(3)]
+                    sgc = [pcst(_r_cs + c)[:8 * npair] for c in range(3)]
+                    corner = _add(
+                        tuple(pb),
+                        _qapply(tuple(qb), (sb[0] * sgc[0], sb[1] * sgc[1],
+                                            sb[2] * sgc[2])),
+                    )
+                    dist = _dot(_sub(corner, tuple(pa)), n)
+                    pos, nrm, dep = corner, _scale(n, -1.0), -dist
+                elif name == "box_box_onesided":
+                    pos, nrm, dep = corners_in_box(ia_l, ib_l)
+                elif name == "box_box":
+                    pos_a, nrm_a, dep_a = corners_in_box(ia_l, ib_l)
+                    pos_b, nrm_b0, dep_b = corners_in_box(ib_l, ia_l)
+                    nrm_b = _scale(nrm_b0, -1.0)
+                    # interleave per pair: [A-corners(8); B-corners(8)]
+                    def ilv(xa, xb):
+                        parts = []
+                        for j in range(npair):
+                            parts.append(xa[8 * j:8 * j + 8])
+                            parts.append(xb[8 * j:8 * j + 8])
+                        return jnp.concatenate(parts, axis=0)
+                    pos = tuple(ilv(pos_a[c], pos_b[c]) for c in range(3))
+                    nrm = tuple(ilv(nrm_a[c], nrm_b[c]) for c in range(3))
+                    dep = ilv(dep_a, dep_b)
+                elif name in ("plane_sphere", "sphere_box", "box_sphere",
+                              "sphere_sphere"):
+                    pa = [_stk([gpos[i][c] for i in ia_l]) for c in range(3)]
+                    qa = [_stk([gquat[i][c] for i in ia_l]) for c in range(4)]
+                    sa = [_stk([geom_size(i)[c] for i in ia_l])
+                          for c in range(3)]
+                    pb = [_stk([gpos[i][c] for i in ib_l]) for c in range(3)]
+                    qb = [_stk([gquat[i][c] for i in ib_l]) for c in range(4)]
+                    sb = [_stk([geom_size(i)[c] for i in ib_l])
+                          for c in range(3)]
+                    if name == "plane_sphere":
+                        n = _qapply(tuple(qa), (0.0 * pa[0], 0.0 * pa[0],
+                                                jnp.ones_like(pa[0])))
+                        r = sb[0]
+                        dist = _dot(_sub(tuple(pb), tuple(pa)), n) - r
+                        pos = _sub(tuple(pb), _scale(n, r + 0.5 * dist))
+                        nrm, dep = _scale(n, -1.0), -dist
+                    elif name == "sphere_sphere":
+                        d = _sub(tuple(pa), tuple(pb))
+                        dist = jnp.sqrt(_dot(d, d) + 1e-18)
+                        n = _scale(d, 1.0 / dist)
+                        dep = sa[0] + sb[0] - dist
+                        pos = _add(tuple(pb), _scale(n, sb[0] - 0.5 * dep))
+                        nrm = n
+                    else:
+                        if name == "box_sphere":
+                            pa, qa, sa, pb, qb, sb = pb, qb, sb, pa, qa, sa
+                        r = sa[0]
+                        loc = _qapply(_qconj(tuple(qb)),
+                                      _sub(tuple(pa), tuple(pb)))
+                        sdf, n_loc = sdf_box(loc[0], loc[1], loc[2],
+                                             sb[0], sb[1], sb[2])
+                        n = _qapply(tuple(qb), n_loc)
+                        dep = r - sdf
+                        pos = _sub(tuple(pa), _scale(n, r - 0.5 * dep))
+                        nrm = n
+                        if name == "box_sphere":
+                            nrm = _scale(nrm, -1.0)
+                else:  # pragma: no cover — guarded by supports()
+                    raise NotImplementedError(name)
+                for c in range(3):
+                    cpos_c[c].append(pos[c])
+                    cnrm_c[c].append(nrm[c])
+                cdep_l.append(dep)
+
+            cpos = tuple(jnp.concatenate(cpos_c[c], axis=0) for c in range(3))
+            cnrm = tuple(jnp.concatenate(cnrm_c[c], axis=0) for c in range(3))
+            cdep = jnp.concatenate(cdep_l, axis=0)  # (P, 8, 128)
+
+            # ---------------- point velocities + force law --------------
+            relx = cpos[0] - ref[0]
+            rely = cpos[1] - ref[1]
+            relz = cpos[2] - ref[2]
+
+            def side_vel(r_idx, f_idx, vbw, vbv, fvel_rows):
+                """Stacked point velocity of one side (robot + free)."""
+                outs = []
+                for c in range(3):
+                    rows_r = [
+                        (vbv[b][c] if b >= 0 else zero)
+                        for b in r_idx
+                    ]
+                    outs.append(_stk(rows_r))
+                vx, vy, vz = outs
+                wx = _stk([(vbw[b][0] if b >= 0 else zero) for b in r_idx])
+                wy = _stk([(vbw[b][1] if b >= 0 else zero) for b in r_idx])
+                wz = _stk([(vbw[b][2] if b >= 0 else zero) for b in r_idx])
+                vx = vx + wy * relz - wz * rely
+                vy = vy + wz * relx - wx * relz
+                vz = vz + wx * rely - wy * relx
+                # free side: v + ω × (cpos − fp)
+                # fvel rows: [lin xyz, ang xyz] per body
+                def frow(j, i):
+                    return fvel_rows[6 * j + i] if j >= 0 else zero
+                flx = _stk([frow(j, 0) for j in f_idx])
+                fly = _stk([frow(j, 1) for j in f_idx])
+                flz = _stk([frow(j, 2) for j in f_idx])
+                fwx = _stk([frow(j, 3) for j in f_idx])
+                fwy = _stk([frow(j, 4) for j in f_idx])
+                fwz = _stk([frow(j, 5) for j in f_idx])
+                fpx = _stk([(fpose[7 * j] if j >= 0 else zero)
+                            for j in f_idx])
+                fpy = _stk([(fpose[7 * j + 1] if j >= 0 else zero)
+                            for j in f_idx])
+                fpz = _stk([(fpose[7 * j + 2] if j >= 0 else zero)
+                            for j in f_idx])
+                ax_ = cpos[0] - fpx
+                ay_ = cpos[1] - fpy
+                az_ = cpos[2] - fpz
+                vx = vx + flx + fwy * az_ - fwz * ay_
+                vy = vy + fly + fwz * ax_ - fwx * az_
+                vz = vz + flz + fwx * ay_ - fwy * ax_
+                return vx, vy, vz
+
+            def point_vels(vbw, vbv, fvel_rows):
+                va = side_vel(plan.ra_idx, plan.fa_idx, vbw, vbv, fvel_rows)
+                vb = side_vel(plan.rb_idx, plan.fb_idx, vbw, vbv, fvel_rows)
+                rvx, rvy, rvz = va[0] - vb[0], va[1] - vb[1], va[2] - vb[2]
+                v_n = rvx * cnrm[0] + rvy * cnrm[1] + rvz * cnrm[2]
+                return v_n, (rvx - v_n * cnrm[0], rvy - v_n * cnrm[1],
+                             rvz - v_n * cnrm[2])
+
+            v_n, v_t = point_vels(vb_w, vb_v, fvel)
+
+            d_n0 = pcst(_r_dn0)
+            cmu_c = pcst(_r_cmu)
+            active = (cdep > -margin).astype(jnp.float32)
+            pen_bias = jnp.minimum(
+                beta * jnp.maximum(cdep, 0.0) / h, bias_max
+            )
+            spec_b = jnp.minimum(cdep, 0.0) / h
+            t_vel = spec_b
+            t_pos = spec_b + pen_bias
+            # project warm-started friction onto the tangent plane
+            ltn = (lamt[0] * cnrm[0] + lamt[1] * cnrm[1]
+                   + lamt[2] * cnrm[2])
+            lt = (lamt[0] - ltn * cnrm[0], lamt[1] - ltn * cnrm[1],
+                  lamt[2] - ltn * cnrm[2])
+
+            def forces_at(v_n_, v_t_):
+                f_n_vel = jnp.maximum(lam + d_n0 * (t_vel - v_n_), 0.0)
+                f_n_vel = f_n_vel * active
+                f_n_pos = jnp.maximum(lam + d_n0 * (t_pos - v_n_), 0.0)
+                f_n_pos = f_n_pos * active
+                ftx = lt[0] - d_n0 * v_t_[0]
+                fty = lt[1] - d_n0 * v_t_[1]
+                ftz = lt[2] - d_n0 * v_t_[2]
+                tn = jnp.sqrt(ftx * ftx + fty * fty + ftz * ftz + 1e-18)
+                cap = cmu_c * f_n_pos
+                sc = jnp.minimum(1.0, cap / tn)
+                return (f_n_vel, f_n_pos, (ftx * sc, fty * sc, ftz * sc),
+                        tn <= cap)
+
+            f_n_vel, f_n_pos, f_t, sticking = forces_at(v_n, v_t)
+            gate = (f_n_vel > 0).astype(jnp.float32)
+            d_n = d_n0 * gate
+            vt_norm = jnp.sqrt(_dot(v_t, v_t) + vreg * vreg)
+            d_t = jnp.where(sticking, d_n0, cmu_c * f_n_pos / vt_norm) * gate
+            f_vel = (f_n_vel * cnrm[0] + f_t[0], f_n_vel * cnrm[1] + f_t[1],
+                     f_n_vel * cnrm[2] + f_t[2])
+            f_pos = (f_n_pos * cnrm[0] + f_t[0], f_n_pos * cnrm[1] + f_t[1],
+                     f_n_pos * cnrm[2] + f_t[2])
+
+            # ---------------- contact C rows + L/gf accumulation ---------
+            h_dt = h * d_t
+            h_nn = h * (d_n - d_t)
+            # active dof pruning (static): which dofs touch any point
+            dof_active = []
+            for k in range(nq):
+                dof_active.append(bool(np.any(plan.sm[k] != 0.0)))
+            for j in range(F):
+                dof_active += [bool(np.any(plan.sgn_free[j] != 0.0))] * 6
+            Cr = []  # per dof: (cx, cy, cz) stacks or None
+            for k in range(nq):
+                if not dof_active[k]:
+                    Cr.append(None)
+                    continue
+                smk = pcst(k)
+                wkx, wky, wkz = cols_w[k]
+                vkx, vky, vkz = cols_v[k]
+                Cr.append((
+                    smk * (vkx + wky * relz - wkz * rely),
+                    smk * (vky + wkz * relx - wkx * relz),
+                    smk * (vkz + wkx * rely - wky * relx),
+                ))
+            for j in range(F):
+                sj = pcst(nq + j)
+                ax_ = cpos[0] - fpose[7 * j]
+                ay_ = cpos[1] - fpose[7 * j + 1]
+                az_ = cpos[2] - fpose[7 * j + 2]
+                za = jnp.zeros_like(ax_)
+                rows = [
+                    (za, -az_ * sj, ay_ * sj),   # ω_x
+                    (az_ * sj, za, -ax_ * sj),   # ω_y
+                    (-ay_ * sj, ax_ * sj, za),   # ω_z
+                    (sj * jnp.ones_like(ax_), za, za),  # v_x
+                    (za, sj * jnp.ones_like(ax_), za),  # v_y
+                    (za, za, sj * jnp.ones_like(ax_)),  # v_z
+                ]
+                for r in rows:
+                    Cr.append(r if dof_active[nq + 6 * j] else None)
+
+            Gn = [
+                (None if C is None else
+                 C[0] * cnrm[0] + C[1] * cnrm[1] + C[2] * cnrm[2])
+                for C in Cr
+            ]
+            gf_vel = [zero] * n_all
+            gf_pos = [zero] * n_all
+            L = [[None] * n_all for _ in range(n_all)]
+            for d in range(n_all):
+                if Cr[d] is None:
+                    continue
+                cxd, cyd, czd = Cr[d]
+                gf_vel[d] = jnp.sum(
+                    cxd * f_vel[0] + cyd * f_vel[1] + czd * f_vel[2], axis=0
+                )
+                gf_pos[d] = jnp.sum(
+                    cxd * f_pos[0] + cyd * f_pos[1] + czd * f_pos[2], axis=0
+                )
+                cwx, cwy, cwz = cxd * h_dt, cyd * h_dt, czd * h_dt
+                gnw = Gn[d] * h_nn
+                for e in range(d, n_all):
+                    if Cr[e] is None:
+                        continue
+                    L[d][e] = jnp.sum(
+                        cwx * Cr[e][0] + cwy * Cr[e][1] + cwz * Cr[e][2]
+                        + gnw * Gn[e],
+                        axis=0,
+                    )
+
+            # ---------------- robot mass + bias ----------------
+            lhs = [[None] * n_all for _ in range(n_all)]
+            rhs_vel = [zero] * n_all
+            rhs_pos = [zero] * n_all
+            if nq > 0:
+                # CoM positions + world inertia rows per body
+                com_w = []
+                Iw = []
+                for b in range(nb):
+                    cw = _add(body_p[b], _qapply(body_q[b],
+                              (one * com_b[b][0], one * com_b[b][1],
+                               one * com_b[b][2])))
+                    cw = _sub(cw, (one * ref[0], one * ref[1], one * ref[2]))
+                    com_w.append(cw)
+                    qw, qx, qy, qz = body_q[b]
+                    txq, tyq, tzq = 2 * qx, 2 * qy, 2 * qz
+                    Rm = [
+                        [1 - (tyq * qy + tzq * qz), txq * qy - tzq * qw,
+                         tzq * qx + tyq * qw],
+                        [txq * qy + tzq * qw, 1 - (txq * qx + tzq * qz),
+                         tyq * qz - txq * qw],
+                        [tzq * qx - tyq * qw, tyq * qz + txq * qw,
+                         1 - (txq * qx + tyq * qy)],
+                    ]
+                    Ic = Icom_b[b]
+                    B3 = [[sum(Rm[c][a] * float(Ic[a, d2])
+                               for a in range(3)) for d2 in range(3)]
+                          for c in range(3)]
+                    Iwb = [[None] * 3 for _ in range(3)]
+                    for c in range(3):
+                        for e in range(c, 3):
+                            Iwb[c][e] = sum(B3[c][d2] * Rm[e][d2]
+                                            for d2 in range(3))
+                            Iwb[e][c] = Iwb[c][e]
+                    Iw.append(Iwb)
+
+                # mass matrix entries over ancestor-overlap pairs
+                anc_np = plan.anc  # (nb, nq)
+                for k in range(nq):
+                    for l in range(k, nq):
+                        bodies = [b for b in range(nb)
+                                  if anc_np[b, k] and anc_np[b, l]]
+                        if not bodies:
+                            continue
+                        acc = zero
+                        for b in bodies:
+                            uk = _add(cols_v[k],
+                                      _cross(cols_w[k], com_w[b]))
+                            ul = _add(cols_v[l],
+                                      _cross(cols_w[l], com_w[b]))
+                            lin = _dot(uk, ul) * float(mass_b[b])
+                            rot = zero
+                            for c in range(3):
+                                rot = rot + cols_w[k][c] * (
+                                    Iw[b][c][0] * cols_w[l][0]
+                                    + Iw[b][c][1] * cols_w[l][1]
+                                    + Iw[b][c][2] * cols_w[l][2]
+                                )
+                            acc = acc + lin + rot
+                        lhs[k][l] = acc if lhs[k][l] is None else (
+                            lhs[k][l] + acc)
+
+                def I_apply(b, w3, u3):
+                    z3 = _add(u3, _cross(w3, com_w[b]))
+                    Iww = tuple(
+                        Iw[b][c][0] * w3[0] + Iw[b][c][1] * w3[1]
+                        + Iw[b][c][2] * w3[2]
+                        for c in range(3)
+                    )
+                    tq_ = _add(Iww, _scale(_cross(com_w[b], z3),
+                                           float(mass_b[b])))
+                    return tq_, _scale(z3, float(mass_b[b]))
+
+                # bias: ṡ = v ×̂ s ; a_bias = prefix(ṡ q̇); f = I a + v ×* I v
+                sd_w, sd_v = [], []
+                for k in range(nq):
+                    sw = _cross(vb_w[k], cols_w[k])
+                    sv = _add(_cross(vb_w[k], cols_v[k]),
+                              _cross(vb_v[k], cols_w[k]))
+                    sd_w.append(sw)
+                    sd_v.append(sv)
+                ab_w, ab_v = [], []
+                for b in range(nq):
+                    par = plan.parent[b]
+                    tw = _scale(sd_w[b], qvel[b])
+                    tvv = _scale(sd_v[b], qvel[b])
+                    if par >= 0:
+                        tw = _add(tw, ab_w[par])
+                        tvv = _add(tvv, ab_v[par])
+                    ab_w.append(tw)
+                    ab_v.append(tvv)
+                fbias_t, fbias_f = [], []
+                for b in range(nb):
+                    t1, f1 = I_apply(b, ab_w[b], ab_v[b])
+                    ti, fi = I_apply(b, vb_w[b], vb_v[b])
+                    # force cross v ×* f = [w×τ + v×f ; w×f]
+                    t2 = _add(_cross(vb_w[b], ti), _cross(vb_v[b], fi))
+                    f2 = _cross(vb_w[b], fi)
+                    # gravity wrench at ref: τ = c×F, F = m g
+                    Fg = (one * gvec[0] * grav_scale * float(mass_b[b]),
+                          one * gvec[1] * grav_scale * float(mass_b[b]),
+                          one * gvec[2] * grav_scale * float(mass_b[b]))
+                    tg = _cross(com_w[b], Fg)
+                    fbias_t.append(_sub(_add(t1, t2), tg))
+                    fbias_f.append(_sub(_add(f1, f2), Fg))
+                # suffix up the tree, then tau_bias[k] = s_k · S_k
+                St = list(fbias_t)
+                Sf = list(fbias_f)
+                for b in range(nq - 1, -1, -1):
+                    par = plan.parent[b]
+                    if par >= 0:
+                        St[par] = _add(St[par], St[b])
+                        Sf[par] = _add(Sf[par], Sf[b])
+                for k in range(nq):
+                    tau_bias = _dot(cols_w[k], St[k]) + _dot(cols_v[k], Sf[k])
+                    # drives + limits
+                    td = jnp.clip(
+                        float(kp[k]) * (tq[k] - qpos[k])
+                        + float(kd[k]) * (tv[k] - qvel[k]),
+                        -float(flim[k]), float(flim[k]),
+                    )
+                    viol_lo = jnp.maximum(float(qlim[k, 0]) - qpos[k], 0.0)
+                    viol_hi = jnp.maximum(qpos[k] - float(qlim[k, 1]), 0.0)
+                    in_viol = ((viol_lo > 0) | (viol_hi > 0)).astype(
+                        jnp.float32)
+                    t_lim = (lim_k * (viol_lo - viol_hi)
+                             - lim_d * in_viol * qvel[k])
+                    r = td + qf[k] + t_lim - tau_bias
+                    rhs_vel[k] = r
+                    rhs_pos[k] = r
+                    dd = h * (float(kp[k]) * h + float(kd[k])) \
+                        + h * float(jdamp[k]) + 1e-6
+                    lhs[k][k] = (lhs[k][k] if lhs[k][k] is not None
+                                 else zero) + dd
+
+            # ---------------- free-body diagonal + rhs ----------------
+            for j in range(F):
+                qj = (fpose[7 * j + 3], fpose[7 * j + 4], fpose[7 * j + 5],
+                      fpose[7 * j + 6])
+                qw, qx, qy, qz = qj
+                txq, tyq, tzq = 2 * qx, 2 * qy, 2 * qz
+                Rm = [
+                    [1 - (tyq * qy + tzq * qz), txq * qy - tzq * qw,
+                     tzq * qx + tyq * qw],
+                    [txq * qy + tzq * qw, 1 - (txq * qx + tzq * qz),
+                     tyq * qz - txq * qw],
+                    [tzq * qx - tyq * qw, tyq * qz + txq * qw,
+                     1 - (txq * qx + tyq * qy)],
+                ]
+                Ic = free_inertia[j]
+                B3 = [[sum(Rm[c][a] * float(Ic[a, d2]) for a in range(3))
+                       for d2 in range(3)] for c in range(3)]
+                Iwj = [[None] * 3 for _ in range(3)]
+                for c in range(3):
+                    for e in range(c, 3):
+                        Iwj[c][e] = sum(B3[c][d2] * Rm[e][d2]
+                                        for d2 in range(3))
+                        Iwj[e][c] = Iwj[c][e]
+                o = nq + 6 * j
+                for c in range(3):
+                    for e in range(c, 3):
+                        add = Iwj[c][e]
+                        cur = lhs[o + c][o + e]
+                        lhs[o + c][o + e] = add if cur is None else cur + add
+                    cur = lhs[o + c][o + c]
+                    lhs[o + c][o + c] = cur + 1e-9
+                    curl = lhs[o + 3 + c][o + 3 + c]
+                    mj = float(free_mass[j]) + 1e-9
+                    lhs[o + 3 + c][o + 3 + c] = (
+                        mj if curl is None else curl + mj)
+                # rhs: gyro + gravity ([ω; v] dof order)
+                wj = (fvel[6 * j + 3], fvel[6 * j + 4], fvel[6 * j + 5])
+                Iww = tuple(
+                    Iwj[c][0] * wj[0] + Iwj[c][1] * wj[1]
+                    + Iwj[c][2] * wj[2] for c in range(3)
+                )
+                gyro = _cross(wj, Iww)
+                for c in range(3):
+                    rhs_vel[o + c] = -gyro[c]
+                    rhs_pos[o + c] = -gyro[c]
+                    gcomp = one * (float(free_mass[j]) * gvec[c])
+                    rhs_vel[o + 3 + c] = gcomp
+                    rhs_pos[o + 3 + c] = gcomp
+
+            # fold contact terms into lhs / rhs
+            for d in range(n_all):
+                rhs_vel[d] = rhs_vel[d] + gf_vel[d]
+                rhs_pos[d] = rhs_pos[d] + gf_pos[d]
+                for e in range(d, n_all):
+                    if L[d][e] is not None:
+                        cur = lhs[d][e]
+                        lhs[d][e] = L[d][e] if cur is None else cur + L[d][e]
+
+            # ---------------- Cholesky pair solve (scalarized) -----------
+            # L lower factor columns; lhs[d][e] holds upper triangle (d<=e)
+            def at(d, e):
+                v = lhs[d][e] if d <= e else lhs[e][d]
+                return zero if v is None else v
+
+            Lc = [[None] * n_all for _ in range(n_all)]
+            Dinv = [None] * n_all
+            for jcol in range(n_all):
+                s = at(jcol, jcol)
+                for kk in range(jcol):
+                    s = s - Lc[jcol][kk] * Lc[jcol][kk]
+                dinv = jax.lax.rsqrt(jnp.maximum(s, 1e-12))
+                Dinv[jcol] = dinv
+                Lc[jcol][jcol] = jnp.maximum(s, 1e-12) * dinv
+                for i2 in range(jcol + 1, n_all):
+                    s2 = at(i2, jcol)
+                    for kk in range(jcol):
+                        s2 = s2 - Lc[i2][kk] * Lc[jcol][kk]
+                    Lc[i2][jcol] = s2 * dinv
+
+            def solve(rhs):
+                y = [None] * n_all
+                for i2 in range(n_all):
+                    s = rhs[i2] * h
+                    for kk in range(i2):
+                        s = s - Lc[i2][kk] * y[kk]
+                    y[i2] = s * Dinv[i2]
+                x = [None] * n_all
+                for i2 in range(n_all - 1, -1, -1):
+                    s = y[i2]
+                    for kk in range(i2 + 1, n_all):
+                        s = s - Lc[kk][i2] * x[kk]
+                    x[i2] = s * Dinv[i2]
+                return x
+
+            dv_vel = solve(rhs_vel)
+            dv_pos = solve(rhs_pos)
+
+            # ---------------- integration ----------------
+            qpos_n, qvel_n = [], []
+            for k in range(nq):
+                qvel_n.append(qvel[k] + dv_vel[k])
+                qpos_n.append(qpos[k] + h * (qvel[k] + dv_pos[k]))
+            fpose_n = list(fpose)
+            fvel_n = list(fvel)
+            for j in range(F):
+                o = nq + 6 * j
+                w_new = tuple(fvel[6 * j + 3 + c] + dv_vel[o + c]
+                              for c in range(3))
+                v_new = tuple(fvel[6 * j + c] + dv_vel[o + 3 + c]
+                              for c in range(3))
+                w_int = tuple(fvel[6 * j + 3 + c] + dv_pos[o + c]
+                              for c in range(3))
+                v_int = tuple(fvel[6 * j + c] + dv_pos[o + 3 + c]
+                              for c in range(3))
+                for c in range(3):
+                    fpose_n[7 * j + c] = fpose[7 * j + c] + h * v_int[c]
+                    fvel_n[6 * j + c] = v_new[c]
+                    fvel_n[6 * j + 3 + c] = w_new[c]
+                qold = (fpose[7 * j + 3], fpose[7 * j + 4],
+                        fpose[7 * j + 5], fpose[7 * j + 6])
+                qn = _qnormalize(_qmul(_qexp(tuple(h * w for w in w_int)),
+                                       qold))
+                for c in range(4):
+                    fpose_n[7 * j + 3 + c] = qn[c]
+
+            # ---------------- relam (post-solve warm-start update) -------
+            vb_w2, vb_v2 = [], []
+            for b in range(nq):
+                par = plan.parent[b]
+                tw = _scale(cols_w[b], qvel_n[b])
+                tvv = _scale(cols_v[b], qvel_n[b])
+                if par >= 0:
+                    tw = _add(tw, vb_w2[par])
+                    tvv = _add(tvv, vb_v2[par])
+                vb_w2.append(tw)
+                vb_v2.append(tvv)
+            v_n2, v_t2 = point_vels(vb_w2, vb_v2, fvel_n)
+            f_n_vel2, _fnp2, f_t2, _st2 = forces_at(v_n2, v_t2)
+            touch = jnp.clip(1.0 + cdep / 1e-3, 0.0, 1.0)
+            lam_n = jnp.maximum(
+                (1 - relax) * lam + relax * f_n_vel2, 0.0) * touch
+            lamt_n = tuple(
+                ((1 - relax) * lt[c] + relax * f_t2[c]) * touch
+                for c in range(3)
+            )
+
+            # last-substep aux (overwritten each substep; final one persists)
+            out_ref[plan.o_fpt[0]:plan.o_fpt[0] + P] = f_pos[0]
+            out_ref[plan.o_fpt[0] + P:plan.o_fpt[0] + 2 * P] = f_pos[1]
+            out_ref[plan.o_fpt[0] + 2 * P:plan.o_fpt[0] + 3 * P] = f_pos[2]
+            for b in range(nb):
+                for c in range(3):
+                    out_ref[plan.o_bpos[0] + c * nb + b] = body_p[b][c]
+                    out_ref[plan.o_axis[0] + c * nb + b] = axis_w[b][c]
+                for c in range(4):
+                    out_ref[plan.o_bquat[0] + c * nb + b] = body_q[b][c]
+
+            return (tuple(qpos_n), tuple(qvel_n), tuple(fpose_n),
+                    tuple(fvel_n), lam_n, lamt_n)
+
+        carry = (qpos0, qvel0, fpose0, fvel0, lam0, lamt0)
+        if n_substeps <= 2:
+            for _ in range(n_substeps):
+                carry = substep(carry)
+        else:
+            carry = jax.lax.fori_loop(
+                0, n_substeps, lambda i, c: substep(c), carry
+            )
+        (qpos, qvel, fpose, fvel, lam, lamt) = carry
+        for i in range(nq):
+            out_ref[plan.o_qpos[0] + i] = qpos[i]
+            out_ref[plan.o_qvel[0] + i] = qvel[i]
+        for i in range(7 * F):
+            out_ref[plan.o_free_pose[0] + i] = fpose[i]
+        for i in range(6 * F):
+            out_ref[plan.o_free_vel[0] + i] = fvel[i]
+        out_ref[plan.o_lam[0]:plan.o_lam[1]] = lam
+        for c in range(3):
+            out_ref[plan.o_lamt[0] + c * P:plan.o_lamt[0] + (c + 1) * P] = (
+                lamt[c]
+            )
+
+    return kernel, const_plane
+
+
+_PLANS = {}
+
+
+def _plan_for(model: SceneModel) -> _Plan:
+    key = id(model)
+    if key not in _PLANS:
+        _PLANS[key] = _Plan(model)
+    return _PLANS[key]
+
+
+def make_pallas_step_fn(model: SceneModel, sim_steps: int, *,
+                        interpret: bool = False, eb: int = EB):
+    """Batched physics step via the mega-kernel.
+
+    Returns ``step(state_batched, cmd_batched) -> (state', aux)`` operating
+    on K-leading batched pytrees; K is padded to a multiple of 1024
+    internally. ``sim_steps`` sim steps × params.substeps substeps run
+    inside ONE kernel launch.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    plan = _plan_for(model)
+    n_substeps = sim_steps * model.params.substeps
+    kernel, const_plane = _build_kernel(plan, n_substeps, eb)
+    const_j = jnp.asarray(const_plane)
+
+    def step(state: SimState, cmd: DriveCmd):
+        K = state.qpos.shape[0]
+        Kp = ((K + eb - 1) // eb) * eb
+        if Kp != K:
+            pad = lambda x: jnp.concatenate(
+                [x, jnp.broadcast_to(x[:1], (Kp - K,) + x.shape[1:])], axis=0
+            )
+            state_p = jax.tree.map(pad, state)
+            cmd_p = jax.tree.map(pad, cmd)
+        else:
+            state_p, cmd_p = state, cmd
+        plane = _pack(plan, state_p, cmd_p, Kp)
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(
+                (plan.R_out, Kp // 128, 128), jnp.float32
+            ),
+            grid=(Kp // eb,),
+            in_specs=[
+                pl.BlockSpec(
+                    (plan.R_in, eb // 128, 128), lambda i: (0, i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    const_plane.shape, lambda i: (0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (plan.R_out, eb // 128, 128), lambda i: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+        )(plane, const_j)
+        new_state, aux = _unpack(plan, out, Kp, state_p)
+        if Kp != K:
+            new_state = jax.tree.map(lambda x: x[:K], new_state)
+            aux = jax.tree.map(lambda x: x[:K], aux)
+        return new_state, aux
+
+    return step
