@@ -150,15 +150,18 @@ class BaseEnv:
         robot_uids: Optional[str] = None,
         sim_params: Optional[SimParams] = None,
         robot_init_qpos_noise: float = 0.02,
+        sim_backend: str = "auto",
         **kwargs,
     ):
         assert obs_mode in self.SUPPORTED_OBS_MODES, obs_mode
         assert reward_mode in self.SUPPORTED_REWARD_MODES, reward_mode
+        assert sim_backend in ("auto", "xla", "pallas"), sim_backend
         self.num_envs = num_envs
         self.obs_mode = obs_mode
         self.reward_mode = reward_mode
         self.robot_uids = robot_uids or self.DEFAULT_ROBOT
         self.robot_init_qpos_noise = robot_init_qpos_noise
+        self.sim_backend = sim_backend
 
         params = sim_params or SimParams(dt=1.0 / self.SIM_FREQ)
         self.sim_steps_per_control = self.SIM_FREQ // self.CONTROL_FREQ
@@ -171,7 +174,7 @@ class BaseEnv:
         self._load_agent(builder)
         self._load_scene(builder)
         self.model: SceneModel = builder.build()
-        self._physics_step = make_step_fn(self.model)
+        self._physics_step = self._build_physics_dispatch()
         from ..physics.engine import make_force_query
 
         self._force_query = make_force_query(self.model)
@@ -334,6 +337,63 @@ class BaseEnv:
         (reference analogue: stateful task attributes like
         ``cum_rotation_angle``, rotate_single_object_in_hand.py)."""
         return state
+
+    def _build_physics_dispatch(self):
+        """Single-env ``(sim, cmd, sim_steps) -> sim`` physics step that,
+        when vmapped over a large batch on TPU, routes the WHOLE batch to
+        the Pallas mega-kernel (physics/megakernel.py) via a custom_vmap
+        batching rule; every other case (CPU, small batches, odd sim_steps,
+        aux requests, differentiation for iLQR with sim_backend='xla')
+        falls back to the vmapped XLA engine. TPU-native counterpart of
+        the reference's sim-backend selection (physx_cpu vs physx_cuda,
+        sapien_env.py backend plumbing)."""
+        from ..physics import megakernel
+
+        step_xla = make_step_fn(self.model)
+        if self.sim_backend == "xla" or not megakernel.supports(self.model):
+            return step_xla
+        n_steps = self.sim_steps_per_control
+        backend = self.sim_backend
+        model = self.model
+        # built OUTSIDE any trace: _Plan runs jnp ops (metadata trace) that
+        # must not leak tracers into the custom_vmap batching rule
+        cell = {"step": megakernel.make_pallas_step_fn(model, n_steps)}
+
+        from jax import custom_batching
+
+        @custom_batching.custom_vmap
+        def phys(sim, cmd):
+            return step_xla(sim, cmd, n_steps)
+
+        @phys.def_vmap
+        def _phys_batched(axis_size, in_batched, sim, cmd):
+            def bc(x, b):
+                return x if b else jnp.broadcast_to(
+                    x, (axis_size,) + jnp.shape(x)
+                )
+
+            sim_b = jax.tree.map(bc, sim, in_batched[0])
+            cmd_b = jax.tree.map(bc, cmd, in_batched[1])
+            use_pallas = backend == "pallas" or (
+                backend == "auto"
+                and jax.default_backend() == "tpu"
+                and axis_size >= 512
+            )
+            if use_pallas:
+                new_sim, _aux = cell["step"](sim_b, cmd_b)
+            else:
+                new_sim = jax.vmap(
+                    lambda s, c: step_xla(s, c, n_steps)
+                )(sim_b, cmd_b)
+            out_batched = jax.tree.map(lambda _: True, new_sim)
+            return new_sim, out_batched
+
+        def stepper(sim, cmd, sim_steps=1, return_aux=False):
+            if sim_steps != n_steps or return_aux:
+                return step_xla(sim, cmd, sim_steps, return_aux)
+            return phys(sim, cmd)
+
+        return stepper
 
     def _step_one(self, state: EnvState, action) -> Tuple[EnvState, Any, Any, Any, Dict]:
         action = jnp.nan_to_num(jnp.asarray(action, jnp.float32))
