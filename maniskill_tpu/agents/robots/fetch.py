@@ -20,7 +20,9 @@ from ..controllers.base import (
     PDJointPosControllerConfig,
 )
 
-FETCH_URDF = "/root/reference/mani_skill/assets/robots/fetch/fetch.urdf"
+from ...utils.assets import ASSET_DIR
+
+FETCH_URDF = str(ASSET_DIR / "robots/fetch/fetch.urdf")
 
 ARM_JOINTS = [
     "shoulder_pan_joint", "shoulder_lift_joint", "upperarm_roll_joint",

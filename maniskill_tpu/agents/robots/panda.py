@@ -21,7 +21,9 @@ from ..controllers.base import (
     PDJointVelControllerConfig,
 )
 
-PANDA_URDF = "/root/reference/mani_skill/assets/robots/panda/panda_v2.urdf"
+from ...utils.assets import ASSET_DIR
+
+PANDA_URDF = str(ASSET_DIR / "robots/panda/panda_v2.urdf")
 
 ARM_JOINTS = [f"panda_joint{i}" for i in range(1, 8)]
 GRIPPER_JOINTS = ["panda_finger_joint1", "panda_finger_joint2"]

@@ -14,7 +14,9 @@ from ..controllers.base import (
 )
 from .panda import ARM_JOINTS
 
-PANDA_STICK_URDF = "/root/reference/mani_skill/assets/robots/panda/panda_stick.urdf"
+from ...utils.assets import ASSET_DIR
+
+PANDA_STICK_URDF = str(ASSET_DIR / "robots/panda/panda_stick.urdf")
 
 
 @register_agent

@@ -12,9 +12,9 @@ from ...physics.shapes import GeomType
 from ..base_agent import BaseAgent, Keyframe, register_agent
 from ..controllers.base import PDJointPosControllerConfig
 
-TRIFINGER_URDF = (
-    "/root/reference/mani_skill/assets/robots/trifinger/trifingerpro.urdf"
-)
+from ...utils.assets import ASSET_DIR
+
+TRIFINGER_URDF = str(ASSET_DIR / "robots/trifinger/trifingerpro.urdf")
 
 JOINTS = [
     f"finger_{part}_joint_{ang}"

@@ -8,7 +8,8 @@ import pytest
 from maniskill_tpu.kinematics import chain
 from maniskill_tpu.kinematics.urdf import parse_urdf
 
-PANDA = "/root/reference/mani_skill/assets/robots/panda/panda_v2.urdf"
+from maniskill_tpu.utils.assets import ASSET_DIR
+PANDA = str(ASSET_DIR / "robots/panda/panda_v2.urdf")
 
 
 @pytest.fixture(scope="module")

@@ -17,7 +17,8 @@ from maniskill_tpu.physics.model import (
     sphere_geom,
 )
 
-PANDA = "/root/reference/mani_skill/assets/robots/panda/panda_v2.urdf"
+from maniskill_tpu.utils.assets import ASSET_DIR
+PANDA = str(ASSET_DIR / "robots/panda/panda_v2.urdf")
 Q0 = np.array([0.0, -np.pi / 8, 0, -np.pi * 5 / 8, 0, np.pi * 3 / 4,
                np.pi / 4, 0.04, 0.04], np.float32)
 

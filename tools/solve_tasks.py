@@ -1,0 +1,55 @@
+"""Receding-horizon MPC success-rate demonstration (VERDICT item 2).
+
+Runs planners.mpc.solve_task on registered tasks with real MPPI budgets and
+writes MPC_RESULTS.json — the committed evidence that the planner stack
+takes tasks to success=True end-to-end (reference task-completion analogue:
+the scripted motion-planning solutions,
+/root/reference/mani_skill/examples/motionplanning/panda/solutions/).
+
+Usage: python tools/solve_tasks.py [task ...]   (default: PushCube, PickCube)
+"""
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from maniskill_tpu.planners.mpc import solve_task
+from maniskill_tpu.planners.mppi import MPPIConfig
+
+TASKS = {
+    "PushCube-v1": MPPIConfig(horizon=20, num_samples=2048, sigma=0.6,
+                              temperature=0.3),
+    "PickCube-v1": MPPIConfig(horizon=30, num_samples=4096, sigma=0.6,
+                              temperature=0.3),
+    "PullCube-v1": MPPIConfig(horizon=20, num_samples=2048, sigma=0.6,
+                              temperature=0.3),
+    "PokeCube-v1": MPPIConfig(horizon=25, num_samples=2048, sigma=0.6,
+                              temperature=0.3),
+}
+
+
+def main():
+    names = sys.argv[1:] or ["PushCube-v1", "PickCube-v1"]
+    results = {}
+    for name in names:
+        cfg = TASKS.get(name, MPPIConfig(horizon=25, num_samples=2048))
+        t0 = time.time()
+        r = solve_task(name, planner="mppi", config=cfg, episodes=5, seed=0)
+        wall = time.time() - t0
+        results[name] = dict(
+            success_rate=r["success_rate"],
+            mean_steps=r["mean_steps"],
+            mean_return=r["mean_return"],
+            horizon=cfg.horizon,
+            num_samples=cfg.num_samples,
+            episodes=5,
+            wall_s=round(wall, 1),
+        )
+        print(name, results[name], flush=True)
+    with open("/root/repo/MPC_RESULTS.json", "w") as f:
+        json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
