@@ -174,6 +174,11 @@ class BaseEnv:
         self._load_agent(builder)
         self._load_scene(builder)
         self.model: SceneModel = builder.build()
+        if self.model.nq != self.agent.controller.nq:
+            # articulated objects appended passive dofs to the kinematic
+            # forest: widen the controller's full-dof drive arrays (its
+            # joint_indices still address the robot's leading dofs)
+            self.agent.controller.nq = self.model.nq
         self._physics_step = self._build_physics_dispatch()
         from ..physics.engine import make_force_query
 

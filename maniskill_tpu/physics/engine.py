@@ -529,6 +529,9 @@ def make_step_fn(model: SceneModel):
     joint_damping = (
         jnp.asarray(spec.joint_damping, dtype=jnp.float32) if spec else None
     )
+    joint_friction = (
+        jnp.asarray(spec.joint_friction, dtype=jnp.float32) if spec else None
+    )
     free_mass = jnp.asarray(model.free_mass)
     free_inertia = jnp.asarray(model.free_inertia)
 
@@ -766,9 +769,9 @@ def make_step_fn(model: SceneModel):
             # gravity wrench per body (reference parity: robot links have
             # gravity disabled by default — balance_passive_force,
             # base_agent.py:272-276)
-            grav_scale = 1.0 if model.robot_gravity else 0.0
+            gmask = jnp.asarray(model.gravity_mask)[:, None]  # (nb, 1)
             f_grav = point_force_to_wrench(
-                com_w, grav_scale * robot_mass[:, None] * g_vec
+                com_w, gmask * robot_mass[:, None] * g_vec
             )
             tau_bias = jnp.sum(cols * suffix_sum(f_cori - f_grav), axis=-1)
 
@@ -791,8 +794,25 @@ def make_step_fn(model: SceneModel):
 
             # implicit drive terms: dt*(kp*dt + kd) + joint damping fold into
             # the LHS so stiff gains stay stable at any dt
-            diag = h * (kp * h + kd) + h * joint_damping
-            rhs_robot = tau_drive + cmd.qf + tau_lim - tau_bias
+            # regularized dry joint friction (reference: PhysX joint
+            # friction on cabinet/faucet joints): saturated viscous law,
+            # stiction slope folded into the LHS inside the band
+            fr = joint_friction
+            fvreg = params.joint_friction_vreg
+            sat = jnp.clip(state.qvel / fvreg, -1.0, 1.0)
+            tau_fric = -fr * sat
+            in_band = (jnp.abs(state.qvel) < fvreg).astype(jnp.float32)
+            # implicit fold of the limit spring/damper (like the drives):
+            # explicit-only limit penalties explode on low-inertia dofs
+            # (a 0.003 kg·m² faucet handle at k=4e3)
+            diag = (
+                h * (kp * h + kd)
+                + h * joint_damping
+                + h * in_band * fr / fvreg
+                + in_viol * h * (params.joint_limit_stiffness * h
+                                 + params.joint_limit_damping)
+            )
+            rhs_robot = tau_drive + cmd.qf + tau_lim + tau_fric - tau_bias
 
         # ---------------- free-body terms ----------------
         if n_free > 0:

@@ -289,7 +289,7 @@ def _build_kernel(plan: _Plan, n_substeps: int, eb: int = EB):
     gvec = np.asarray(params.gravity, np.float32)
     base = np.asarray(model.robot_base_pose, np.float32)
     ref = base[:3] if spec else np.zeros(3, np.float32)
-    grav_scale = 1.0 if model.robot_gravity else 0.0
+    gmask = np.asarray(model.gravity_mask, np.float32)
 
     if spec:
         # FK quaternion pre-compose cache (chain._fk_unrolled)
@@ -314,6 +314,7 @@ def _build_kernel(plan: _Plan, n_substeps: int, eb: int = EB):
         kd = np.asarray(model.drive_kd, np.float32)
         flim = np.asarray(model.drive_force_limit, np.float32)
         jdamp = np.asarray(spec.joint_damping, np.float32)
+        jfric = np.asarray(spec.joint_friction, np.float32)
         qlim = np.asarray(model.robot_qlim, np.float32)
     free_mass = np.asarray(model.free_mass, np.float32)
     free_inertia = np.asarray(model.free_inertia, np.float32)
@@ -898,9 +899,10 @@ def _build_kernel(plan: _Plan, n_substeps: int, eb: int = EB):
                     t2 = _add(_cross(vb_w[b], ti), _cross(vb_v[b], fi))
                     f2 = _cross(vb_w[b], fi)
                     # gravity wrench at ref: τ = c×F, F = m g
-                    Fg = (one * gvec[0] * grav_scale * float(mass_b[b]),
-                          one * gvec[1] * grav_scale * float(mass_b[b]),
-                          one * gvec[2] * grav_scale * float(mass_b[b]))
+                    gmb = float(gmask[b]) * float(mass_b[b])
+                    Fg = (one * gvec[0] * gmb,
+                          one * gvec[1] * gmb,
+                          one * gvec[2] * gmb)
                     tg = _cross(com_w[b], Fg)
                     fbias_t.append(_sub(_add(t1, t2), tg))
                     fbias_f.append(_sub(_add(f1, f2), Fg))
@@ -926,11 +928,19 @@ def _build_kernel(plan: _Plan, n_substeps: int, eb: int = EB):
                         jnp.float32)
                     t_lim = (lim_k * (viol_lo - viol_hi)
                              - lim_d * in_viol * qvel[k])
-                    r = td + qf[k] + t_lim - tau_bias
+                    fvreg = params.joint_friction_vreg
+                    sat = jnp.clip(qvel[k] / fvreg, -1.0, 1.0)
+                    t_fric = -float(jfric[k]) * sat
+                    in_band = (jnp.abs(qvel[k]) < fvreg).astype(jnp.float32)
+                    r = td + qf[k] + t_lim + t_fric - tau_bias
                     rhs_vel[k] = r
                     rhs_pos[k] = r
-                    dd = h * (float(kp[k]) * h + float(kd[k])) \
+                    dd = (
+                        h * (float(kp[k]) * h + float(kd[k]))
                         + h * float(jdamp[k]) + 1e-6
+                        + h * in_band * float(jfric[k]) / fvreg
+                        + in_viol * (h * (lim_k * h + lim_d))
+                    )
                     lhs[k][k] = (lhs[k][k] if lhs[k][k] is not None
                                  else zero) + dd
 

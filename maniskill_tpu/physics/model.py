@@ -104,6 +104,9 @@ class SimParams:
     joint_limit_stiffness: float = 4.0e3
     joint_limit_damping: float = 1.0e2
     contact_margin: float = 0.01  # activation margin (m): speculative band
+    joint_friction_vreg: float = 0.02  # rad/s (or m/s) regularization of
+    # dry joint friction: τ_f = -f·clip(q̇/vreg, -1, 1), slope folded into
+    # the LHS inside the stiction band
 
 
 @struct.dataclass
@@ -169,6 +172,9 @@ class SceneModel:
         drive_force_limit: np.ndarray,
         init_qpos: np.ndarray,
         robot_gravity: bool = False,
+        gravity_mask: Optional[np.ndarray] = None,
+        tree_id: Optional[np.ndarray] = None,
+        art_dof_index: Optional[Dict[str, np.ndarray]] = None,
     ):
         self.robot = robot
         self.robot_base_pose = robot_base_pose.astype(np.float32)
@@ -187,8 +193,22 @@ class SceneModel:
         self.init_qpos = init_qpos.astype(np.float32)
         # reference parity: ManiSkill disables gravity on robot links
         # (balance_passive_force, base_agent.py:272-276); robot_gravity=True
-        # restores physical gravity on the arm.
+        # restores physical gravity on the arm. Articulated OBJECTS merged
+        # into the kinematic forest always feel gravity — per-body scale in
+        # ``gravity_mask`` (nb,).
         self.robot_gravity = robot_gravity
+        nb = robot.nb if robot is not None else 0
+        self.gravity_mask = (
+            gravity_mask.astype(np.float32)
+            if gravity_mask is not None
+            else np.full(nb, 1.0 if robot_gravity else 0.0, np.float32)
+        )
+        # tree_id[b]: which kinematic tree of the forest body b belongs to
+        # (0 = the robot); art_dof_index: articulation name -> dof indices
+        self.tree_id = (
+            tree_id if tree_id is not None else np.zeros(nb, np.int32)
+        )
+        self.art_dof_index = art_dof_index or {}
 
         self.nq = robot.nb if robot is not None else 0
         self.n_free = len(free_names)
@@ -325,6 +345,9 @@ class SceneSpecBuilder:
         self.init_qpos = None
         self._excluded_pairs: set = set()
         self._excluded_groups: list = []
+        # articulated objects: (name, spec, world_pose, base_geoms,
+        # link_geoms, init_qpos, gravity)
+        self._articulations: list = []
 
     # -- robot --------------------------------------------------------------
     def add_robot(
@@ -372,6 +395,33 @@ class SceneSpecBuilder:
         self.drive_kp = np.zeros(spec.nb, dtype=np.float32)
         self.drive_kd = np.zeros(spec.nb, dtype=np.float32)
         self.drive_force_limit = np.full(spec.nb, 1e10, dtype=np.float32)
+
+    def add_articulation(
+        self,
+        builder_or_tuple,
+        pose: np.ndarray,
+        gravity: bool = True,
+    ) -> str:
+        """Add an articulated OBJECT (cabinet, faucet, door ...) built with
+        :class:`~maniskill_tpu.kinematics.articulation.ArticulationBuilder`.
+
+        The object's kinematic tree is merged into the scene's forest at
+        ``build()``; its dofs are appended after the robot's and are passive
+        (zero drive gains). Reference analogue: URDF/ArticulationBuilder
+        loading of PartNet-Mobility assets
+        (mani_skill/utils/building/articulation_builder.py + articulations.py).
+        """
+        if hasattr(builder_or_tuple, "build"):
+            spec, base_geoms, link_geoms, init_q = builder_or_tuple.build()
+            name = builder_or_tuple.name
+        else:
+            spec, base_geoms, link_geoms, init_q = builder_or_tuple
+            name = spec.name
+        self._articulations.append(
+            (name, spec, np.asarray(pose, np.float32), base_geoms,
+             link_geoms, init_q, gravity)
+        )
+        return name
 
     def set_drive_properties(self, kp, kd, force_limit):
         self.drive_kp = np.broadcast_to(np.asarray(kp, np.float32), (self.robot.nb,)).copy()
@@ -474,12 +524,101 @@ class SceneSpecBuilder:
 
     # -- build --------------------------------------------------------------
     def build(self) -> SceneModel:
+        # ---- merge articulated objects into one kinematic forest ----------
+        robot = self.robot
+        geoms = list(self.geoms)
+        collision_enabled = list(self._collision_enabled)
+        init_qpos = self.init_qpos
+        drive_kp, drive_kd = self.drive_kp, self.drive_kd
+        drive_flim = self.drive_force_limit
+        tree_id = None
+        gravity_mask = None
+        art_dof_index: Dict[str, np.ndarray] = {}
+        robot_base_pose = self.robot_base_pose
+        if self._articulations:
+            from ..kinematics.articulation import merge_forest
+
+            trees = []
+            grav_flags = []
+            if robot is not None:
+                trees.append((robot, self.robot_base_pose))
+                grav_flags.append(1.0 if self.robot_gravity else 0.0)
+            else:
+                robot_base_pose = np.array([0, 0, 0, 1, 0, 0, 0], np.float32)
+            init_parts = [init_qpos] if init_qpos is not None else []
+            kp_parts = [drive_kp] if drive_kp is not None else []
+            kd_parts = [drive_kd] if drive_kd is not None else []
+            fl_parts = [drive_flim] if drive_flim is not None else []
+            for (name, spec, pose, base_geoms, link_geoms, init_q,
+                 grav) in self._articulations:
+                off = sum(t[0].nb for t in trees)
+                trees.append((spec, pose))
+                grav_flags += [1.0 if grav else 0.0] * spec.nb
+                art_dof_index[name] = np.arange(off, off + spec.nb)
+                init_parts.append(init_q)
+                kp_parts.append(np.zeros(spec.nb, np.float32))
+                kd_parts.append(np.zeros(spec.nb, np.float32))
+                fl_parts.append(np.full(spec.nb, 1e10, np.float32))
+                # carcass geoms fixed in the world at the object's pose
+                if base_geoms:
+                    self.static_names.append(f"{name}:base")
+                    self.static_pose.append(np.asarray(pose, np.float32))
+                    sidx = len(self.static_names) - 1
+                    for g in base_geoms:
+                        geoms.append(GeomSpec(
+                            kind=BodyKind.STATIC, body=sidx,
+                            gtype=GeomType(g["type"]),
+                            size=np.asarray(g["size"], np.float32),
+                            offset_p=np.asarray(
+                                g.get("offset_p", np.zeros(3)), np.float32),
+                            offset_q=np.asarray(
+                                g.get("offset_q", [1, 0, 0, 0]), np.float32),
+                            friction=g.get("friction", 0.3),
+                            name=f"{name}:base",
+                        ))
+                        collision_enabled.append(g.get("collision", True))
+                for li, lg in enumerate(link_geoms):
+                    for g in lg:
+                        geoms.append(GeomSpec(
+                            kind=BodyKind.ROBOT_LINK, body=off + li,
+                            gtype=GeomType(g["type"]),
+                            size=np.asarray(g["size"], np.float32),
+                            offset_p=np.asarray(
+                                g.get("offset_p", np.zeros(3)), np.float32),
+                            offset_q=np.asarray(
+                                g.get("offset_q", [1, 0, 0, 0]), np.float32),
+                            friction=g.get("friction", 0.3),
+                            name=spec.link_names[li],
+                        ))
+                        collision_enabled.append(g.get("collision", True))
+            # grav flags were appended per-BODY for objects but per-TREE for
+            # the robot: expand the robot flag
+            if robot is not None:
+                grav_flags = (
+                    [grav_flags[0]] * robot.nb + grav_flags[1:]
+                )
+            forest, tree_id, _offs = merge_forest(trees, robot_base_pose)
+            gravity_mask = np.asarray(grav_flags, np.float32)
+            assert gravity_mask.shape[0] == forest.nb
+            robot = forest
+            init_qpos = np.concatenate(
+                [np.asarray(p, np.float32) for p in init_parts]
+            ) if init_parts else np.zeros(forest.nb, np.float32)
+            drive_kp = np.concatenate(kp_parts) if kp_parts else None
+            drive_kd = np.concatenate(kd_parts) if kd_parts else None
+            drive_flim = np.concatenate(fl_parts) if fl_parts else None
+
+        def _tree_of(body: int) -> int:
+            if tree_id is None or body < 0:
+                return 0
+            return int(tree_id[body])
+
         pairs = []
-        n = len(self.geoms)
+        n = len(geoms)
         for i in range(n):
             for j in range(i + 1, n):
-                gi, gj = self.geoms[i], self.geoms[j]
-                if not (self._collision_enabled[i] and self._collision_enabled[j]):
+                gi, gj = geoms[i], geoms[j]
+                if not (collision_enabled[i] and collision_enabled[j]):
                     continue
                 # never collide two non-dynamic geoms
                 both_static = gi.kind in (BodyKind.STATIC, BodyKind.KINEMATIC) and gj.kind in (
@@ -488,17 +627,12 @@ class SceneSpecBuilder:
                 )
                 if both_static:
                     continue
-                # robot self-collision: skip same body and parent-child pairs
                 if gi.kind == BodyKind.ROBOT_LINK and gj.kind == BodyKind.ROBOT_LINK:
-                    if gi.body == gj.body:
+                    # same-tree self-collision off (reference tasks rely on
+                    # PhysX srdf filtering; revisit for humanoids) — but
+                    # CROSS-tree contacts (robot vs cabinet drawer) are real
+                    if _tree_of(gi.body) == _tree_of(gj.body):
                         continue
-                    pa = int(self.robot.parent[gj.body]) if gj.body >= 0 else -2
-                    pb = int(self.robot.parent[gi.body]) if gi.body >= 0 else -2
-                    if pa == gi.body or pb == gj.body:
-                        continue
-                    # v1: robot self-collision off entirely (reference tasks
-                    # rely on PhysX srdf filtering; revisit for humanoids)
-                    continue
                 if frozenset((gi.name, gj.name)) in self._excluded_pairs:
                     continue
                 if self._group_excluded(gi.name, gj.name):
@@ -510,8 +644,8 @@ class SceneSpecBuilder:
                     pairs.append((j, i))
 
         return SceneModel(
-            robot=self.robot,
-            robot_base_pose=self.robot_base_pose,
+            robot=robot,
+            robot_base_pose=robot_base_pose,
             free_names=self.free_names,
             free_mass=np.asarray(self.free_mass, dtype=np.float32)
             if self.free_mass
@@ -524,16 +658,19 @@ class SceneSpecBuilder:
             static_pose=np.stack(self.static_pose)
             if self.static_pose
             else np.zeros((0, 7), dtype=np.float32),
-            geoms=self.geoms,
+            geoms=geoms,
             pairs=pairs,
             params=self.params,
-            drive_kp=self.drive_kp if self.drive_kp is not None else np.zeros(0),
-            drive_kd=self.drive_kd if self.drive_kd is not None else np.zeros(0),
-            drive_force_limit=self.drive_force_limit
-            if self.drive_force_limit is not None
+            drive_kp=drive_kp if drive_kp is not None else np.zeros(0),
+            drive_kd=drive_kd if drive_kd is not None else np.zeros(0),
+            drive_force_limit=drive_flim
+            if drive_flim is not None
             else np.zeros(0),
-            init_qpos=self.init_qpos if self.init_qpos is not None else np.zeros(0),
+            init_qpos=init_qpos if init_qpos is not None else np.zeros(0),
             robot_gravity=self.robot_gravity,
+            gravity_mask=gravity_mask,
+            tree_id=tree_id,
+            art_dof_index=art_dof_index,
         )
 
 

@@ -1,0 +1,114 @@
+"""Multi-articulation scenes: forest merge + articulated-object physics.
+
+Covers VERDICT round-2 item 3: N kinematic trees share one monolithic
+solve (reference analogue: PhysX articulation instancing,
+mani_skill/utils/structs/articulation.py)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import maniskill_tpu as mst
+from maniskill_tpu.kinematics.articulation import ArticulationBuilder, merge_forest
+
+
+def test_merge_forest_structure():
+    ab = ArticulationBuilder("cab")
+    d = ab.add_prismatic_link("drawer", axis=(1, 0, 0), limits=(0, 0.3),
+                              joint_pose=((0, 0, 0.4), (1, 0, 0, 0)))
+    spec, base_geoms, link_geoms, init_q = ab.build()
+    assert spec.nb == 1 and spec.link_names == ["cab:drawer"]
+
+    from maniskill_tpu.agents.base_agent import REGISTERED_AGENTS
+
+    panda = REGISTERED_AGENTS["panda"](control_mode=None).robot_spec
+    forest, tree_id, offs = merge_forest(
+        [(panda, np.array([0, 0, 0, 1, 0, 0, 0.0])),
+         (spec, np.array([0.5, 0, 0, 1, 0, 0, 0.0]))],
+        np.array([0, 0, 0, 1, 0, 0, 0.0]),
+    )
+    assert forest.nb == panda.nb + 1
+    assert list(tree_id) == [0] * panda.nb + [1]
+    # baked base offset: drawer root joint origin moved to x=0.5
+    np.testing.assert_allclose(
+        forest.joint_pos[-1], [0.5, 0, 0.4], atol=1e-6
+    )
+    # robot link names still resolve
+    assert "cab:drawer" in forest.link_index
+
+
+@pytest.fixture(scope="module")
+def drawer_env():
+    return mst.make("OpenCabinetDrawer-v1", num_envs=2)
+
+
+def test_drawer_rests_closed_under_gravity(drawer_env):
+    """The prismatic rail must hold the drawer against gravity (axis is
+    horizontal: gravity has no component along the dof)."""
+    env = drawer_env
+    env.reset(seed=0)
+    i = env._drawer_body
+    # hold the robot still; sim 20 control steps
+    a = np.zeros((2, env.action_dim), np.float32)
+    for _ in range(20):
+        obs, rew, term, trunc, info = env.step(a)
+    q = np.asarray(env._state.sim.qpos[:, i])
+    assert np.all(np.abs(q) < 5e-3), q  # stays closed
+    assert np.isfinite(np.asarray(env._state.sim.qpos)).all()
+
+
+def test_drawer_opens_under_force_and_respects_limit(drawer_env):
+    env = drawer_env
+    env.reset(seed=0)
+    i = env._drawer_body
+    st = env._state
+    # push the drawer out via a direct generalized force on its dof
+    cmd = st.cmd.replace(qf=st.cmd.qf.at[:, i].set(30.0))
+    sim = st.sim
+    step = jax.jit(jax.vmap(
+        lambda s, c: env._physics_step(s, c, env.sim_steps_per_control)
+    ))
+    for _ in range(60):
+        sim = step(sim, cmd)
+    q = np.asarray(sim.qpos[:, i])
+    assert np.all(q > 0.15), q  # opened
+    assert np.all(q < env.drawer_travel + 0.02), q  # limit holds
+    # release the force: damping stops it, drawer stays open (no spring-back)
+    cmd0 = st.cmd.replace(qf=st.cmd.qf.at[:, i].set(0.0))
+    for _ in range(30):
+        sim = step(sim, cmd0)
+    q2 = np.asarray(sim.qpos[:, i])
+    assert np.all(q2 > 0.12), q2
+    assert np.all(np.abs(np.asarray(sim.qvel[:, i])) < 0.05)
+
+
+def test_faucet_handle_turns_and_limits(drawer_env):
+    env = mst.make("TurnFaucet-v1", num_envs=2)
+    env.reset(seed=3)
+    i = env._handle_body
+    st = env._state
+    cmd = st.cmd.replace(qf=st.cmd.qf.at[:, i].set(2.0))
+    sim = st.sim
+    q0 = np.asarray(sim.qpos[:, i]).copy()
+    step = jax.jit(jax.vmap(
+        lambda s, c: env._physics_step(s, c, env.sim_steps_per_control)
+    ))
+    for _ in range(40):
+        sim = step(sim, cmd)
+    q = np.asarray(sim.qpos[:, i])
+    assert np.all(q > q0 + 0.5), (q0, q)  # rotated forward
+    assert np.all(q < 2.45), q  # joint limit respected
+
+
+def test_turnfaucet_success_via_state_injection():
+    env = mst.make("TurnFaucet-v1", num_envs=2)
+    env.reset(seed=0)
+    i = env._handle_body
+    tgt = np.asarray(env._state.extras["target_angle"])
+    st = env._state
+    st = st.replace(sim=st.sim.replace(
+        qpos=st.sim.qpos.at[:, i].set(jnp.asarray(tgt) + 0.05)))
+    env._state = st
+    obs, rew, term, trunc, info = env.step(
+        np.zeros((2, env.action_dim), np.float32))
+    assert np.asarray(info["success"]).all()
