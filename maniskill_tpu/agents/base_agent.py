@@ -109,9 +109,12 @@ class BaseAgent:
 
     def _make_controller(self, cfg) -> JointController:
         from .controllers.ee import EEController, PDEEPosControllerConfig
+        from .controllers.base import TorqueController, TorqueControllerConfig
 
         if isinstance(cfg, PDEEPosControllerConfig):
             return EEController(cfg, self)
+        if isinstance(cfg, TorqueControllerConfig):
+            return TorqueController(cfg)
         return JointController(cfg, self.robot_spec.qlim, self.nq)
 
     # -- helpers ------------------------------------------------------------

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Tuple, Union
+import numpy as _np
 
 import jax.numpy as jnp
 import numpy as np
@@ -96,6 +97,17 @@ class PDBaseForwardVelControllerConfig(ControllerConfig):
     damping: Union[float, Sequence[float]] = 1e3
     force_limit: Union[float, Sequence[float]] = 1e10
     normalize_action: bool = True
+
+
+@dataclass
+class TorqueControllerConfig(ControllerConfig):
+    """Direct joint torque control (dm_control-style MJCF ``<motor>``
+    actuators: τ = gear · a with a clipped to ctrlrange). Used by the
+    control-suite locomotion tasks (reference envs/tasks/control/*.py
+    passive-controller + qf path)."""
+
+    gear: Union[float, Sequence[float]] = 1.0
+    ctrlrange: Tuple[float, float] = (-1.0, 1.0)
 
 
 @dataclass
@@ -252,3 +264,36 @@ class JointController:
         # clamp targets to joint limits like PhysX drive targets effectively do
         tgt = jnp.clip(tgt, self.qlim[:, 0], self.qlim[:, 1])
         return cstate.replace(target_qpos=tgt, target_qvel=jnp.zeros(self.nj))
+
+
+class TorqueController:
+    """Composite-compatible controller writing ``DriveCmd.qf`` directly
+    (zero PD gains). See TorqueControllerConfig."""
+
+    def __init__(self, cfg: TorqueControllerConfig):
+        self.cfg = cfg
+        self.joint_indices = np.asarray(cfg.joint_indices, dtype=np.int32)
+        nj = len(self.joint_indices)
+        self.action_dim = nj
+        self.gear = np.broadcast_to(
+            np.asarray(cfg.gear, np.float32), (nj,)
+        ).copy()
+        self.raw_low = np.full(nj, cfg.ctrlrange[0], np.float32)
+        self.raw_high = np.full(nj, cfg.ctrlrange[1], np.float32)
+        self.normalize_action = False  # ctrlrange is the action space
+        self.mimic = False
+        self.kp = np.zeros(nj, np.float32)
+        self.kd = np.zeros(nj, np.float32)
+        self.force_limit = np.full(nj, 1e10, np.float32)
+
+    def set_action(self, sub_state, qpos, action):
+        nj = len(self.joint_indices)
+        return ControllerState(
+            target_qpos=qpos[self.joint_indices],
+            target_qvel=jnp.zeros(nj),
+        )
+
+    def compute_qf(self, qpos, action):
+        a = jnp.clip(action, jnp.asarray(self.raw_low),
+                     jnp.asarray(self.raw_high))
+        return jnp.asarray(self.gear) * a

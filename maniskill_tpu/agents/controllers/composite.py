@@ -69,6 +69,7 @@ class CompositeController:
         """
         tq = cmd.target_qpos
         tv = jnp.zeros(self.nq)
+        qf = None
         off = 0
         for c in self.controllers.values():
             a = action[off : off + c.action_dim]
@@ -80,7 +81,13 @@ class CompositeController:
             new_sub = c.set_action(sub_state, qpos, a, aux=aux) if _takes_aux(c) else c.set_action(sub_state, qpos, a)
             tq = tq.at[c.joint_indices].set(new_sub.target_qpos)
             tv = tv.at[c.joint_indices].set(new_sub.target_qvel)
-        return cmd.replace(target_qpos=tq, target_qvel=tv)
+            if hasattr(c, "compute_qf"):
+                if qf is None:
+                    qf = jnp.zeros(self.nq)
+                qf = qf.at[c.joint_indices].set(c.compute_qf(qpos, a))
+        if qf is None:
+            return cmd.replace(target_qpos=tq, target_qvel=tv)
+        return cmd.replace(target_qpos=tq, target_qvel=tv, qf=qf)
 
 
 def _takes_aux(c) -> bool:

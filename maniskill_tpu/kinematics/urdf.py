@@ -156,6 +156,8 @@ class RobotSpec:
     # base_collisions for geometry attached to the fixed base
     body_collisions: List[list] = field(default_factory=list)
     base_collisions: list = field(default_factory=list)
+    # reflected rotor inertia added to M[k,k] (MJCF 'armature'; zero for URDF)
+    armature: Optional[np.ndarray] = None
 
     def frame_of(self, name: str) -> Tuple[int, np.ndarray, np.ndarray]:
         """Return (body_idx, offset_p, offset_q) for a movable link or a fused
