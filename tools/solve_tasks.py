@@ -20,8 +20,8 @@ from maniskill_tpu.planners.mppi import MPPIConfig
 TASKS = {
     "PushCube-v1": MPPIConfig(horizon=20, num_samples=2048, sigma=0.6,
                               temperature=0.3),
-    "PickCube-v1": MPPIConfig(horizon=30, num_samples=4096, sigma=0.6,
-                              temperature=0.3),
+    "PickCube-v1": MPPIConfig(horizon=40, num_samples=4096, sigma=0.5,
+                              temperature=0.2),
     "PullCube-v1": MPPIConfig(horizon=20, num_samples=2048, sigma=0.6,
                               temperature=0.3),
     "PokeCube-v1": MPPIConfig(horizon=25, num_samples=2048, sigma=0.6,
