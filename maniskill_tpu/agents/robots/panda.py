@@ -179,7 +179,25 @@ class Panda(BaseAgent):
 
 @register_agent
 class PandaWristCam(Panda):
-    """Reference ``panda_wristcam``: same body, wrist camera mount — camera
-    configs land with the sensor subsystem."""
+    """Reference ``panda_wristcam`` (agents/robots/panda/panda_wristcam.py):
+    same body plus a hand-mounted depth camera. The sensor rides the
+    ``panda_hand`` frame, looking along the tool axis (the reference mounts
+    ``camera_link``; panda_v2.urdf has no camera link, so the equivalent
+    hand-frame offset is used)."""
 
     uid = "panda_wristcam"
+
+    @property
+    def _sensor_configs(self):
+        from ...sensors.camera import CameraConfig
+        import numpy as _np
+
+        # hand frame: +z along the tool axis. Camera looks along tool +z:
+        # camera +x (forward) = hand +z -> rotate -90 deg about hand +y.
+        q = _np.array([_np.cos(-_np.pi / 4), 0.0, _np.sin(-_np.pi / 4), 0.0])
+        return [CameraConfig(
+            uid="hand_camera",
+            pose=_np.concatenate([[0.0, 0.0, 0.04], q]).astype(_np.float32),
+            width=128, height=128, fov=_np.pi / 2,
+            mount="panda_hand",
+        )]

@@ -187,7 +187,9 @@ class BaseEnv:
         if self.obs_mode in ("depth", "pointcloud", "sensor_data"):
             from ..sensors.camera import Camera
 
-            for cfg in self._default_sensor_configs():
+            cfgs = list(self._default_sensor_configs())
+            cfgs += list(getattr(self.agent, "_sensor_configs", []))
+            for cfg in cfgs:
                 self._sensors[cfg.uid] = Camera(cfg, self.model)
         self._post_build()
 

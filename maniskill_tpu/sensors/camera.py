@@ -32,16 +32,18 @@ from ..physics.shapes import GeomType
 @dataclass
 class CameraConfig:
     """Mirrors the reference CameraConfig (camera.py:32): uid, pose, width,
-    height, fov (vertical), near, far. Mounting to robot links lands with the
-    wrist-cam support."""
+    height, fov (vertical), near, far, and ``mount`` — a robot frame name
+    the camera rides on (the reference's mount link, camera.py:32; pose is
+    then LOCAL to that frame and composed with FK every render)."""
 
     uid: str
-    pose: np.ndarray  # (7,) [p, q] world pose; +x forward, +z up (SAPIEN/ROS)
+    pose: np.ndarray  # (7,) [p, q]; world pose, or mount-local when mounted
     width: int = 128
     height: int = 128
     fov: float = np.pi / 2
     near: float = 0.01
     far: float = 100.0
+    mount: Optional[str] = None  # robot frame/link name
 
 
 def _ray_dirs(cfg: CameraConfig) -> np.ndarray:
@@ -126,8 +128,18 @@ class Camera:
         segmentation (H, W) int16 geom id + 1 (0 = background), position
         (H, W, 3) world-frame points (inf where no hit)."""
         model = self.model
-        cam_p = jnp.asarray(self._cam_p)
-        cam_q = jnp.asarray(self._cam_q)
+        if self.cfg.mount is not None:
+            from ..physics.engine import robot_frame_pose
+            from ..math.rotations import quat_mul
+
+            mp, mq = robot_frame_pose(
+                model, body_pos, body_quat, self.cfg.mount
+            )
+            cam_p = mp + quat_apply(mq, jnp.asarray(self._cam_p))
+            cam_q = quat_mul(mq, jnp.asarray(self._cam_q))
+        else:
+            cam_p = jnp.asarray(self._cam_p)
+            cam_q = jnp.asarray(self._cam_q)
         dirs_w = quat_apply(cam_q[None], jnp.asarray(self._dirs))  # (N,3)
         N = dirs_w.shape[0]
 

@@ -62,3 +62,27 @@ def test_images_to_video_roundtrip(tmp_path):
               for _ in range(5)]
     p = images_to_video(frames, str(tmp_path / "v.mp4"), fps=5)
     assert os.path.getsize(p) > 0
+
+
+def test_mounted_wrist_camera_tracks_hand():
+    """A panda_wristcam depth image must change when the wrist moves
+    (VERDICT round-2 item 9; reference camera.py:32 mount semantics)."""
+    import jax
+    import jax.numpy as jnp
+    import maniskill_tpu as mst
+
+    env = mst.make("PickCube-v1", num_envs=1, robot_uids="panda_wristcam",
+                   obs_mode="sensor_data")
+    obs, _ = env.reset(seed=0)
+    assert "hand_camera" in obs["sensor_data"]
+    d0 = np.asarray(obs["sensor_data"]["hand_camera"]["depth"])
+    # command a large arm motion for several steps
+    a = np.zeros((1, env.action_dim), np.float32)
+    a[0, 0] = 1.0
+    a[0, 3] = 1.0
+    for _ in range(10):
+        obs, *_ = env.step(a)
+    d1 = np.asarray(obs["sensor_data"]["hand_camera"]["depth"])
+    finite = np.isfinite(d0) & np.isfinite(d1)
+    assert finite.any()
+    assert np.abs(np.where(finite, d1 - d0, 0.0)).max() > 1e-3
