@@ -202,7 +202,8 @@ class BaseEnv:
 
         # jitted batched fns
         self._jit_step = jax.jit(jax.vmap(self._step_one))
-        self._jit_reset = jax.jit(jax.vmap(self._reset_one))
+        self._jit_reset = jax.jit(jax.vmap(lambda k: self._reset_one(k)))
+        self._jit_reset_prev = jax.jit(jax.vmap(self._reset_one))
         self._jit_masked_reset = jax.jit(self._masked_reset)
 
         self._state: Optional[EnvState] = None
@@ -313,7 +314,8 @@ class BaseEnv:
             state = state.replace(qpos=state.qpos + noise * mask)
         return state
 
-    def _reset_one(self, key) -> Tuple[EnvState, Any, Dict]:
+    def _reset_one(self, key, prev: Optional[EnvState] = None
+                   ) -> Tuple[EnvState, Any, Dict]:
         k_init, k_ep, k_next = jax.random.split(key, 3)
         sim = self._initial_sim_state(k_init)
         state = EnvState(
@@ -327,13 +329,24 @@ class BaseEnv:
             rng=k_next,
             extras=self._default_extras(),
         )
-        state = self._initialize_episode(state, k_ep)
+        if prev is None:
+            state = self._initialize_episode(state, k_ep)
+        else:
+            state = self._initialize_episode_prev(state, k_ep, prev)
         # controller reset from (possibly task-modified) qpos
         state = state.replace(cmd=self.agent.controller.reset(state.sim.qpos))
         ctx = TaskContext(self, state)
         info = self.evaluate(state, ctx)
         obs = self._get_obs(state, ctx, info)
         return state, obs, info
+
+    def _initialize_episode_prev(self, state: EnvState, key,
+                                 prev: EnvState) -> EnvState:
+        """Episode init with access to the env's PREVIOUS state — override
+        for cross-episode persistence (e.g. reconfiguration_freq object
+        reuse, reference sapien_env.py _reconfigure cadence). Default
+        ignores ``prev``."""
+        return self._initialize_episode(state, key)
 
     def _default_extras(self) -> Dict[str, jnp.ndarray]:
         """Zero-valued extras pytree (so reset/step have matching structure)."""
@@ -503,7 +516,7 @@ class BaseEnv:
     def _masked_reset(self, state: EnvState, keys, mask):
         """Partial reset: reset envs where mask is True, keep others.
         Reference: reset(options={'env_idx': ...}), sapien_env.py:815-841."""
-        new_state, obs, info = jax.vmap(self._reset_one)(keys)
+        new_state, obs, info = jax.vmap(self._reset_one)(keys, state)
         merged = jax.tree.map(
             lambda n, o: jnp.where(
                 mask.reshape((-1,) + (1,) * (n.ndim - 1)), n, o
@@ -535,6 +548,8 @@ class BaseEnv:
         if env_idx is not None and self._state is not None:
             mask = jnp.zeros(self.num_envs, dtype=bool).at[jnp.asarray(env_idx)].set(True)
             self._state, obs, info = self._jit_masked_reset(self._state, keys, mask)
+        elif self._state is not None:
+            self._state, obs, info = self._jit_reset_prev(keys, self._state)
         else:
             self._state, obs, info = self._jit_reset(keys)
         return obs, info

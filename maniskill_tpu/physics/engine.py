@@ -532,8 +532,7 @@ def make_step_fn(model: SceneModel):
     joint_friction = (
         jnp.asarray(spec.joint_friction, dtype=jnp.float32) if spec else None
     )
-    free_mass = jnp.asarray(model.free_mass)
-    free_inertia = jnp.asarray(model.free_inertia)
+
 
     h = params.dt / params.substeps
     ref = jnp.asarray(model.robot_base_pose[:3]) if spec else jnp.zeros(3)
@@ -817,6 +816,8 @@ def make_step_fn(model: SceneModel):
         # ---------------- free-body terms ----------------
         if n_free > 0:
             Rf = quat_to_matrix(state.free_pose[:, 3:7])
+            free_mass = state.free_mass  # per-env (heterogeneous batches)
+            free_inertia = state.free_inertia
             I_w = Rf @ free_inertia @ Rf.swapaxes(-1, -2)
             lin_v, ang_v = state.free_vel[:, :3], state.free_vel[:, 3:]
             u = jnp.concatenate([ang_v, lin_v], axis=-1)  # (n_free, 6) [ω; v]

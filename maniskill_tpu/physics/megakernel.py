@@ -203,6 +203,8 @@ class _Plan:
         self.i_free_vel = take(6 * F)
         self.i_kin = take(7 * nk)
         self.i_gsize = take(3 * G)
+        self.i_fmass = take(F)
+        self.i_finertia = take(6 * F)  # unique symmetric comps, body frame
         self.i_lam = take(self.P)
         self.i_lamt = take(3 * self.P)
         self.i_tq = take(nq)
@@ -236,6 +238,9 @@ def _pack(plan: _Plan, state: SimState, cmd: DriveCmd, K: int):
         state.qpos, state.qvel,
         state.free_pose.reshape(K, -1), state.free_vel.reshape(K, -1),
         state.kin_pose.reshape(K, -1), state.geom_size.reshape(K, -1),
+        state.free_mass.reshape(K, -1),
+        state.free_inertia[..., [0, 0, 0, 1, 1, 2], [0, 1, 2, 1, 2, 2]]
+        .reshape(K, -1),
         state.contact_lam,
         state.contact_lam_t.transpose(0, 2, 1).reshape(K, -1),
         cmd.target_qpos, cmd.target_qvel, cmd.qf,
@@ -376,6 +381,8 @@ def _build_kernel(plan: _Plan, n_substeps: int, eb: int = EB):
         fvel0 = tuple(row(plan.i_free_vel[0] + i) for i in range(6 * F))
         kin = tuple(row(plan.i_kin[0] + i) for i in range(7 * nk))
         gsz = tuple(row(plan.i_gsize[0] + i) for i in range(3 * G))
+        fmass = tuple(row(plan.i_fmass[0] + j) for j in range(F))
+        fIc = tuple(row(plan.i_finertia[0] + i) for i in range(6 * F))
         lam0 = in_ref[plan.i_lam[0]:plan.i_lam[1]]  # (P, 8, 128)
         lamt0 = rows3(plan.i_lamt, P)
         tq = tuple(row(plan.i_tq[0] + i) for i in range(nq))
@@ -958,8 +965,11 @@ def _build_kernel(plan: _Plan, n_substeps: int, eb: int = EB):
                     [tzq * qx - tyq * qw, tyq * qz + txq * qw,
                      1 - (txq * qx + tyq * qy)],
                 ]
-                Ic = free_inertia[j]
-                B3 = [[sum(Rm[c][a] * float(Ic[a, d2]) for a in range(3))
+                # symmetric body-frame inertia rows [xx, xy, xz, yy, yz, zz]
+                Icd = [[fIc[6 * j + 0], fIc[6 * j + 1], fIc[6 * j + 2]],
+                       [fIc[6 * j + 1], fIc[6 * j + 3], fIc[6 * j + 4]],
+                       [fIc[6 * j + 2], fIc[6 * j + 4], fIc[6 * j + 5]]]
+                B3 = [[sum(Rm[c][a] * Icd[a][d2] for a in range(3))
                        for d2 in range(3)] for c in range(3)]
                 Iwj = [[None] * 3 for _ in range(3)]
                 for c in range(3):
@@ -976,7 +986,7 @@ def _build_kernel(plan: _Plan, n_substeps: int, eb: int = EB):
                     cur = lhs[o + c][o + c]
                     lhs[o + c][o + c] = cur + 1e-9
                     curl = lhs[o + 3 + c][o + 3 + c]
-                    mj = float(free_mass[j]) + 1e-9
+                    mj = fmass[j] + 1e-9
                     lhs[o + 3 + c][o + 3 + c] = (
                         mj if curl is None else curl + mj)
                 # rhs: gyro + gravity ([ω; v] dof order)
@@ -989,7 +999,7 @@ def _build_kernel(plan: _Plan, n_substeps: int, eb: int = EB):
                 for c in range(3):
                     rhs_vel[o + c] = -gyro[c]
                     rhs_pos[o + c] = -gyro[c]
-                    gcomp = one * (float(free_mass[j]) * gvec[c])
+                    gcomp = fmass[j] * gvec[c]
                     rhs_vel[o + 3 + c] = gcomp
                     rhs_pos[o + 3 + c] = gcomp
 

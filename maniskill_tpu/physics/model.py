@@ -136,6 +136,12 @@ class SimState:
     # at zero slip, clamped to the Coulomb cone.
     contact_lam: jnp.ndarray  # (P,)
     contact_lam_t: jnp.ndarray  # (P, 3)
+    # per-env free-body inertial properties (heterogeneous batches phase 2:
+    # the reference's PickSingleYCB per-scene object variation,
+    # pick_single_ycb.py:28,81-124, without recompilation). Initialized from
+    # the model; tasks overwrite per episode.
+    free_mass: jnp.ndarray  # (n_free,)
+    free_inertia: jnp.ndarray  # (n_free, 3, 3) about CoM, body frame
 
 
 @struct.dataclass
@@ -307,6 +313,8 @@ class SceneModel:
             geom_size=jnp.asarray(gsize),
             contact_lam=jnp.zeros(self.n_points),
             contact_lam_t=jnp.zeros((self.n_points, 3)),
+            free_mass=jnp.asarray(self.free_mass),
+            free_inertia=jnp.asarray(self.free_inertia),
         )
 
     def geom_indices(self, name: str):
