@@ -22,6 +22,12 @@ from ..math.rotations import (
 from .urdf import JOINT_REVOLUTE, RobotSpec
 
 
+# set True to always use the unrolled FK (required when differentiating
+# through the step on CPU: jacfwd through the scan formulation trips an XLA
+# lowering bug on batched tangents — see planners/ilqr.py)
+FORCE_UNROLLED = False
+
+
 def fk(spec: RobotSpec, base_pose: jnp.ndarray, qpos: jnp.ndarray):
     """Forward kinematics. Returns (body_pos (nb,3), body_quat (nb,4),
     axis_w (nb,3)).
@@ -34,7 +40,7 @@ def fk(spec: RobotSpec, base_pose: jnp.ndarray, qpos: jnp.ndarray):
       * CPU (dev/test): lax.scan with dynamic parent gather — compiles ~10x
         faster and runs fine there.
     """
-    if jax.default_backend() == "cpu":
+    if jax.default_backend() == "cpu" and not FORCE_UNROLLED:
         return _fk_scan(spec, base_pose, qpos)
     return _fk_unrolled(spec, base_pose, qpos)
 

