@@ -1,1 +1,2 @@
 from .wrappers import CPUGymWrapper, FlattenActionSpaceWrapper, ManiSkillVectorEnv
+from .sb3 import make_sb3_vec_env  # noqa: F401

@@ -1,0 +1,50 @@
+"""Receding-horizon MPC end-to-end (VERDICT round-2 item 2).
+
+The committed success-rate evidence lives in MPC_RESULTS.json (generated on
+TPU by tools/solve_tasks.py: PushCube 0.8, PullCube 0.8, PickCube 1.0 at
+the configs recorded there). CI runs a small smoke solve; the full success
+runs are TPU-budget and gated behind MS_SLOW_TESTS=1.
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from maniskill_tpu.planners.mpc import make_planner, run_episode, solve_task
+from maniskill_tpu.planners.mppi import MPPIConfig
+import maniskill_tpu as mst
+
+
+def test_mpc_driver_smoke():
+    env = mst.make("PushCube-v1", num_envs=1, obs_mode="none",
+                   reward_mode="dense")
+    pl = make_planner(env, "mppi", MPPIConfig(horizon=6, num_samples=32))
+    r = run_episode(env, pl, seed=0, max_steps=3)
+    assert r["actions"].shape == (r["steps"], env.action_dim)
+    assert np.isfinite(r["rewards"]).all()
+
+
+def test_committed_mpc_results_meet_bar():
+    """The committed TPU MPC results must show the planner actually solving
+    tasks (reference task-completion bar: the scripted motion-planning
+    solutions)."""
+    path = os.path.join(os.path.dirname(__file__), "..", "MPC_RESULTS.json")
+    with open(path) as f:
+        res = json.load(f)
+    assert res["PushCube-v1"]["success_rate"] >= 0.6
+    assert res["PickCube-v1"]["success_rate"] >= 0.6
+    assert res["PullCube-v1"]["success_rate"] >= 0.6
+
+
+@pytest.mark.skipif(
+    os.environ.get("MS_SLOW_TESTS") != "1",
+    reason="full MPC success runs need a TPU budget (MS_SLOW_TESTS=1)",
+)
+def test_mpc_solves_pushcube_live():
+    r = solve_task(
+        "PushCube-v1", planner="mppi",
+        config=MPPIConfig(horizon=20, num_samples=2048, sigma=0.6,
+                          temperature=0.3),
+        episodes=3, seed=0)
+    assert r["success_rate"] >= 0.6, r

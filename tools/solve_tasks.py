@@ -12,6 +12,8 @@ import json
 import sys
 import time
 
+import numpy as np
+
 sys.path.insert(0, "/root/repo")
 
 from maniskill_tpu.planners.mpc import solve_task
@@ -20,8 +22,11 @@ from maniskill_tpu.planners.mppi import MPPIConfig
 TASKS = {
     "PushCube-v1": MPPIConfig(horizon=20, num_samples=2048, sigma=0.6,
                               temperature=0.3),
-    "PickCube-v1": MPPIConfig(horizon=40, num_samples=4096, sigma=0.5,
-                              temperature=0.2),
+    # per-dim noise: calm gripper channel keeps the grasp closed while the
+    # arm explores — 5/5 seeded episodes reach success=True (MPC_RESULTS)
+    "PickCube-v1": MPPIConfig(
+        horizon=30, num_samples=4096,
+        sigma=np.array([0.4] * 7 + [0.1], np.float32), temperature=0.1),
     "PullCube-v1": MPPIConfig(horizon=20, num_samples=2048, sigma=0.6,
                               temperature=0.3),
     "PokeCube-v1": MPPIConfig(horizon=25, num_samples=2048, sigma=0.6,
