@@ -139,6 +139,14 @@ def supports(model: SceneModel) -> bool:
     for g in model.geoms:
         if g.kind == BodyKind.ROBOT_LINK and g.body < -1:
             return False
+    # VMEM budget gate: per-point stacks are (P, 8, 128) f32 (4 KB/point)
+    # with ~20 live at peak, plus per-dof C rows. Scenes past these bounds
+    # (e.g. the Fetch+cabinet forest: P=320, nq=16) overflow VMEM and can
+    # crash the Mosaic compile — fall back to the XLA path.
+    nq = model.nq
+    P = model.n_points
+    if P > 220 or nq + 6 * model.n_free > 24:
+        return False
     return True
 
 
