@@ -358,10 +358,14 @@ def _build_kernel(plan: _Plan, n_substeps: int, eb: int = EB):
     const_rows += [plan.sgn_free[j] for j in range(F)]
     const_rows += [plan.cmu, d_n0_np,
                    tiled_signs[:, 0], tiled_signs[:, 1], tiled_signs[:, 2]]
-    const_plane = np.broadcast_to(
-        np.stack(const_rows).astype(np.float32)[:, :, None],
-        (len(const_rows), P_, 128),
-    ).copy() if const_rows else np.zeros((1, max(P_, 1), 128), np.float32)
+    const_plane = (
+        np.broadcast_to(
+            np.stack(const_rows).astype(np.float32)[:, :, None],
+            (len(const_rows), P_, 128),
+        ).copy()
+        if const_rows and P_ > 0
+        else np.zeros((1, 1, 128), np.float32)  # placeholder: P==0 models
+    )
     C_ROWS = const_plane.shape[0]
     _r_cmu = nq + F
     _r_dn0 = nq + F + 1
@@ -649,103 +653,127 @@ def _build_kernel(plan: _Plan, n_substeps: int, eb: int = EB):
                     cnrm_c[c].append(nrm[c])
                 cdep_l.append(dep)
 
-            cpos = tuple(jnp.concatenate(cpos_c[c], axis=0) for c in range(3))
-            cnrm = tuple(jnp.concatenate(cnrm_c[c], axis=0) for c in range(3))
-            cdep = jnp.concatenate(cdep_l, axis=0)  # (P, 8, 128)
+            if P == 0:
+                zp3 = jnp.zeros((0, eb // 128, 128), jnp.float32)
+                cpos = (zp3, zp3, zp3)
+                cnrm = (zp3, zp3, zp3)
+                cdep = zp3
+            else:
+                cpos = tuple(
+                    jnp.concatenate(cpos_c[c], axis=0) for c in range(3)
+                )
+                cnrm = tuple(
+                    jnp.concatenate(cnrm_c[c], axis=0) for c in range(3)
+                )
+                cdep = jnp.concatenate(cdep_l, axis=0)  # (P, 8, 128)
 
             # ---------------- point velocities + force law --------------
-            relx = cpos[0] - ref[0]
-            rely = cpos[1] - ref[1]
-            relz = cpos[2] - ref[2]
+            # contact-free models (e.g. cartpole: zero candidate pairs)
+            # short-circuit every per-point stage
+            if P == 0:
+                zp3 = jnp.zeros((0, eb // 128, 128), jnp.float32)
+                d_n = d_t = zp3
+                f_vel = f_pos = (zp3, zp3, zp3)
 
-            def side_vel(r_idx, f_idx, vbw, vbv, fvel_rows):
-                """Stacked point velocity of one side (robot + free)."""
-                outs = []
-                for c in range(3):
-                    rows_r = [
-                        (vbv[b][c] if b >= 0 else zero)
-                        for b in r_idx
-                    ]
-                    outs.append(_stk(rows_r))
-                vx, vy, vz = outs
-                wx = _stk([(vbw[b][0] if b >= 0 else zero) for b in r_idx])
-                wy = _stk([(vbw[b][1] if b >= 0 else zero) for b in r_idx])
-                wz = _stk([(vbw[b][2] if b >= 0 else zero) for b in r_idx])
-                vx = vx + wy * relz - wz * rely
-                vy = vy + wz * relx - wx * relz
-                vz = vz + wx * rely - wy * relx
-                # free side: v + ω × (cpos − fp)
-                # fvel rows: [lin xyz, ang xyz] per body
-                def frow(j, i):
-                    return fvel_rows[6 * j + i] if j >= 0 else zero
-                flx = _stk([frow(j, 0) for j in f_idx])
-                fly = _stk([frow(j, 1) for j in f_idx])
-                flz = _stk([frow(j, 2) for j in f_idx])
-                fwx = _stk([frow(j, 3) for j in f_idx])
-                fwy = _stk([frow(j, 4) for j in f_idx])
-                fwz = _stk([frow(j, 5) for j in f_idx])
-                fpx = _stk([(fpose[7 * j] if j >= 0 else zero)
-                            for j in f_idx])
-                fpy = _stk([(fpose[7 * j + 1] if j >= 0 else zero)
-                            for j in f_idx])
-                fpz = _stk([(fpose[7 * j + 2] if j >= 0 else zero)
-                            for j in f_idx])
-                ax_ = cpos[0] - fpx
-                ay_ = cpos[1] - fpy
-                az_ = cpos[2] - fpz
-                vx = vx + flx + fwy * az_ - fwz * ay_
-                vy = vy + fly + fwz * ax_ - fwx * az_
-                vz = vz + flz + fwx * ay_ - fwy * ax_
-                return vx, vy, vz
+                def point_vels(vbw, vbv, fvel_rows):
+                    return zp3, (zp3, zp3, zp3)
 
-            def point_vels(vbw, vbv, fvel_rows):
-                va = side_vel(plan.ra_idx, plan.fa_idx, vbw, vbv, fvel_rows)
-                vb = side_vel(plan.rb_idx, plan.fb_idx, vbw, vbv, fvel_rows)
-                rvx, rvy, rvz = va[0] - vb[0], va[1] - vb[1], va[2] - vb[2]
-                v_n = rvx * cnrm[0] + rvy * cnrm[1] + rvz * cnrm[2]
-                return v_n, (rvx - v_n * cnrm[0], rvy - v_n * cnrm[1],
-                             rvz - v_n * cnrm[2])
+                def forces_at(v_n_, v_t_):
+                    return zp3, zp3, (zp3, zp3, zp3), zp3 > 0
 
-            v_n, v_t = point_vels(vb_w, vb_v, fvel)
+            if P > 0:
+                relx = cpos[0] - ref[0]
+                rely = cpos[1] - ref[1]
+                relz = cpos[2] - ref[2]
 
-            d_n0 = pcst(_r_dn0)
-            cmu_c = pcst(_r_cmu)
-            active = (cdep > -margin).astype(jnp.float32)
-            pen_bias = jnp.minimum(
-                beta * jnp.maximum(cdep, 0.0) / h, bias_max
-            )
-            spec_b = jnp.minimum(cdep, 0.0) / h
-            t_vel = spec_b
-            t_pos = spec_b + pen_bias
-            # project warm-started friction onto the tangent plane
-            ltn = (lamt[0] * cnrm[0] + lamt[1] * cnrm[1]
-                   + lamt[2] * cnrm[2])
-            lt = (lamt[0] - ltn * cnrm[0], lamt[1] - ltn * cnrm[1],
-                  lamt[2] - ltn * cnrm[2])
+                def side_vel(r_idx, f_idx, vbw, vbv, fvel_rows):
+                    """Stacked point velocity of one side (robot + free)."""
+                    outs = []
+                    for c in range(3):
+                        rows_r = [
+                            (vbv[b][c] if b >= 0 else zero)
+                            for b in r_idx
+                        ]
+                        outs.append(_stk(rows_r))
+                    vx, vy, vz = outs
+                    wx = _stk([(vbw[b][0] if b >= 0 else zero) for b in r_idx])
+                    wy = _stk([(vbw[b][1] if b >= 0 else zero) for b in r_idx])
+                    wz = _stk([(vbw[b][2] if b >= 0 else zero) for b in r_idx])
+                    vx = vx + wy * relz - wz * rely
+                    vy = vy + wz * relx - wx * relz
+                    vz = vz + wx * rely - wy * relx
+                    # free side: v + ω × (cpos − fp)
+                    # fvel rows: [lin xyz, ang xyz] per body
+                    def frow(j, i):
+                        return fvel_rows[6 * j + i] if j >= 0 else zero
+                    flx = _stk([frow(j, 0) for j in f_idx])
+                    fly = _stk([frow(j, 1) for j in f_idx])
+                    flz = _stk([frow(j, 2) for j in f_idx])
+                    fwx = _stk([frow(j, 3) for j in f_idx])
+                    fwy = _stk([frow(j, 4) for j in f_idx])
+                    fwz = _stk([frow(j, 5) for j in f_idx])
+                    fpx = _stk([(fpose[7 * j] if j >= 0 else zero)
+                                for j in f_idx])
+                    fpy = _stk([(fpose[7 * j + 1] if j >= 0 else zero)
+                                for j in f_idx])
+                    fpz = _stk([(fpose[7 * j + 2] if j >= 0 else zero)
+                                for j in f_idx])
+                    ax_ = cpos[0] - fpx
+                    ay_ = cpos[1] - fpy
+                    az_ = cpos[2] - fpz
+                    vx = vx + flx + fwy * az_ - fwz * ay_
+                    vy = vy + fly + fwz * ax_ - fwx * az_
+                    vz = vz + flz + fwx * ay_ - fwy * ax_
+                    return vx, vy, vz
 
-            def forces_at(v_n_, v_t_):
-                f_n_vel = jnp.maximum(lam + d_n0 * (t_vel - v_n_), 0.0)
-                f_n_vel = f_n_vel * active
-                f_n_pos = jnp.maximum(lam + d_n0 * (t_pos - v_n_), 0.0)
-                f_n_pos = f_n_pos * active
-                ftx = lt[0] - d_n0 * v_t_[0]
-                fty = lt[1] - d_n0 * v_t_[1]
-                ftz = lt[2] - d_n0 * v_t_[2]
-                tn = jnp.sqrt(ftx * ftx + fty * fty + ftz * ftz + 1e-18)
-                cap = cmu_c * f_n_pos
-                sc = jnp.minimum(1.0, cap / tn)
-                return (f_n_vel, f_n_pos, (ftx * sc, fty * sc, ftz * sc),
-                        tn <= cap)
+                def point_vels(vbw, vbv, fvel_rows):
+                    va = side_vel(plan.ra_idx, plan.fa_idx, vbw, vbv, fvel_rows)
+                    vb = side_vel(plan.rb_idx, plan.fb_idx, vbw, vbv, fvel_rows)
+                    rvx, rvy, rvz = va[0] - vb[0], va[1] - vb[1], va[2] - vb[2]
+                    v_n = rvx * cnrm[0] + rvy * cnrm[1] + rvz * cnrm[2]
+                    return v_n, (rvx - v_n * cnrm[0], rvy - v_n * cnrm[1],
+                                 rvz - v_n * cnrm[2])
 
-            f_n_vel, f_n_pos, f_t, sticking = forces_at(v_n, v_t)
-            gate = (f_n_vel > 0).astype(jnp.float32)
-            d_n = d_n0 * gate
-            vt_norm = jnp.sqrt(_dot(v_t, v_t) + vreg * vreg)
-            d_t = jnp.where(sticking, d_n0, cmu_c * f_n_pos / vt_norm) * gate
-            f_vel = (f_n_vel * cnrm[0] + f_t[0], f_n_vel * cnrm[1] + f_t[1],
-                     f_n_vel * cnrm[2] + f_t[2])
-            f_pos = (f_n_pos * cnrm[0] + f_t[0], f_n_pos * cnrm[1] + f_t[1],
-                     f_n_pos * cnrm[2] + f_t[2])
+                v_n, v_t = point_vels(vb_w, vb_v, fvel)
+
+                d_n0 = pcst(_r_dn0)
+                cmu_c = pcst(_r_cmu)
+                active = (cdep > -margin).astype(jnp.float32)
+                pen_bias = jnp.minimum(
+                    beta * jnp.maximum(cdep, 0.0) / h, bias_max
+                )
+                spec_b = jnp.minimum(cdep, 0.0) / h
+                t_vel = spec_b
+                t_pos = spec_b + pen_bias
+                # project warm-started friction onto the tangent plane
+                ltn = (lamt[0] * cnrm[0] + lamt[1] * cnrm[1]
+                       + lamt[2] * cnrm[2])
+                lt = (lamt[0] - ltn * cnrm[0], lamt[1] - ltn * cnrm[1],
+                      lamt[2] - ltn * cnrm[2])
+
+                def forces_at(v_n_, v_t_):
+                    f_n_vel = jnp.maximum(lam + d_n0 * (t_vel - v_n_), 0.0)
+                    f_n_vel = f_n_vel * active
+                    f_n_pos = jnp.maximum(lam + d_n0 * (t_pos - v_n_), 0.0)
+                    f_n_pos = f_n_pos * active
+                    ftx = lt[0] - d_n0 * v_t_[0]
+                    fty = lt[1] - d_n0 * v_t_[1]
+                    ftz = lt[2] - d_n0 * v_t_[2]
+                    tn = jnp.sqrt(ftx * ftx + fty * fty + ftz * ftz + 1e-18)
+                    cap = cmu_c * f_n_pos
+                    sc = jnp.minimum(1.0, cap / tn)
+                    return (f_n_vel, f_n_pos, (ftx * sc, fty * sc, ftz * sc),
+                            tn <= cap)
+
+                f_n_vel, f_n_pos, f_t, sticking = forces_at(v_n, v_t)
+                gate = (f_n_vel > 0).astype(jnp.float32)
+                d_n = d_n0 * gate
+                vt_norm = jnp.sqrt(_dot(v_t, v_t) + vreg * vreg)
+                d_t = jnp.where(sticking, d_n0, cmu_c * f_n_pos / vt_norm) * gate
+                f_vel = (f_n_vel * cnrm[0] + f_t[0], f_n_vel * cnrm[1] + f_t[1],
+                         f_n_vel * cnrm[2] + f_t[2])
+                f_pos = (f_n_pos * cnrm[0] + f_t[0], f_n_pos * cnrm[1] + f_t[1],
+                         f_n_pos * cnrm[2] + f_t[2])
 
             # ---------------- contact C rows + L/gf accumulation ---------
             h_dt = h * d_t
@@ -1098,20 +1126,26 @@ def _build_kernel(plan: _Plan, n_substeps: int, eb: int = EB):
                     tvv = _add(tvv, vb_v2[par])
                 vb_w2.append(tw)
                 vb_v2.append(tvv)
-            v_n2, v_t2 = point_vels(vb_w2, vb_v2, fvel_n)
-            f_n_vel2, _fnp2, f_t2, _st2 = forces_at(v_n2, v_t2)
-            touch = jnp.clip(1.0 + cdep / 1e-3, 0.0, 1.0)
-            lam_n = jnp.maximum(
-                (1 - relax) * lam + relax * f_n_vel2, 0.0) * touch
-            lamt_n = tuple(
-                ((1 - relax) * lt[c] + relax * f_t2[c]) * touch
-                for c in range(3)
-            )
+            if P > 0:
+                v_n2, v_t2 = point_vels(vb_w2, vb_v2, fvel_n)
+                f_n_vel2, _fnp2, f_t2, _st2 = forces_at(v_n2, v_t2)
+                touch = jnp.clip(1.0 + cdep / 1e-3, 0.0, 1.0)
+                lam_n = jnp.maximum(
+                    (1 - relax) * lam + relax * f_n_vel2, 0.0) * touch
+                lamt_n = tuple(
+                    ((1 - relax) * lt[c] + relax * f_t2[c]) * touch
+                    for c in range(3)
+                )
+            else:
+                lam_n, lamt_n = lam, lamt
 
             # last-substep aux (overwritten each substep; final one persists)
-            out_ref[plan.o_fpt[0]:plan.o_fpt[0] + P] = f_pos[0]
-            out_ref[plan.o_fpt[0] + P:plan.o_fpt[0] + 2 * P] = f_pos[1]
-            out_ref[plan.o_fpt[0] + 2 * P:plan.o_fpt[0] + 3 * P] = f_pos[2]
+            if P > 0:
+                out_ref[plan.o_fpt[0]:plan.o_fpt[0] + P] = f_pos[0]
+                out_ref[plan.o_fpt[0] + P:plan.o_fpt[0] + 2 * P] = f_pos[1]
+                out_ref[plan.o_fpt[0] + 2 * P:plan.o_fpt[0] + 3 * P] = (
+                    f_pos[2]
+                )
             for b in range(nb):
                 for c in range(3):
                     out_ref[plan.o_bpos[0] + c * nb + b] = body_p[b][c]
@@ -1138,11 +1172,12 @@ def _build_kernel(plan: _Plan, n_substeps: int, eb: int = EB):
             out_ref[plan.o_free_pose[0] + i] = fpose[i]
         for i in range(6 * F):
             out_ref[plan.o_free_vel[0] + i] = fvel[i]
-        out_ref[plan.o_lam[0]:plan.o_lam[1]] = lam
-        for c in range(3):
-            out_ref[plan.o_lamt[0] + c * P:plan.o_lamt[0] + (c + 1) * P] = (
-                lamt[c]
-            )
+        if P > 0:
+            out_ref[plan.o_lam[0]:plan.o_lam[1]] = lam
+            for c in range(3):
+                out_ref[
+                    plan.o_lamt[0] + c * P:plan.o_lamt[0] + (c + 1) * P
+                ] = lamt[c]
 
     return kernel, const_plane
 

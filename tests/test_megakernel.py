@@ -82,3 +82,23 @@ def test_megakernel_settles_like_xla(pick_env):
     z = np.asarray(sim_k.free_pose[:, 0, 2])
     assert np.all(z > 0.015) and np.all(z < 0.025), z
     assert np.isfinite(np.asarray(sim_k.qpos)).all()
+
+
+def test_megakernel_contact_free_model():
+    """Contact-free scenes (cartpole: zero candidate pairs) run through the
+    kernel and match the XLA path."""
+    env = mst.make("MS-CartpoleBalance-v1", num_envs=4)
+    env.reset(seed=0)
+    model = env.model
+    assert model.n_points == 0 and megakernel.supports(model)
+    sim = jax.tree.map(lambda x: x[:4], env._state.sim)
+    cmd = jax.tree.map(lambda x: x[:4], env._state.cmd)
+    k_step = megakernel.make_pallas_step_fn(
+        model, sim_steps=2, interpret=True, eb=128)
+    sim_k, _ = k_step(sim, cmd)
+    xla = make_step_fn(model)
+    sim_x = jax.vmap(lambda s, c: xla(s, c, 2))(sim, cmd)
+    np.testing.assert_allclose(
+        np.asarray(sim_k.qpos), np.asarray(sim_x.qpos), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(sim_k.qvel), np.asarray(sim_x.qvel), atol=1e-6)

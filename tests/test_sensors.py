@@ -26,7 +26,11 @@ def test_pointcloud_obs_mode():
     obs, _ = env.reset(seed=0)
     pc = np.asarray(obs["pointcloud"]["xyzw"])
     seg = np.asarray(obs["pointcloud"]["segmentation"])
-    assert pc.shape == (1, 128 * 128, 3)
+    # one 128x128 point set per camera (PushCube's panda_wristcam agent
+    # contributes its hand camera on top of the task base camera)
+    n_cams = len(env._sensors)
+    assert n_cams == 2
+    assert pc.shape == (1, n_cams * 128 * 128, 3)
     finite = np.isfinite(pc).all(-1)
     # points on the tabletop should sit at z ~= 0
     table_gid = [i for i, g in enumerate(env.model.geoms)
