@@ -395,8 +395,13 @@ def _build_kernel(plan: _Plan, n_substeps: int, eb: int = EB):
         gsz = tuple(row(plan.i_gsize[0] + i) for i in range(3 * G))
         fmass = tuple(row(plan.i_fmass[0] + j) for j in range(F))
         fIc = tuple(row(plan.i_finertia[0] + i) for i in range(6 * F))
-        lam0 = in_ref[plan.i_lam[0]:plan.i_lam[1]]  # (P, 8, 128)
-        lamt0 = rows3(plan.i_lamt, P)
+        if P > 0:
+            lam0 = in_ref[plan.i_lam[0]:plan.i_lam[1]]  # (P, 8, 128)
+            lamt0 = rows3(plan.i_lamt, P)
+        else:
+            # Mosaic rejects zero-sized vectors: carry single-tile dummies
+            lam0 = jnp.zeros((1, eb // 128, 128), jnp.float32)
+            lamt0 = (lam0, lam0, lam0)
         tq = tuple(row(plan.i_tq[0] + i) for i in range(nq))
         tv = tuple(row(plan.i_tv[0] + i) for i in range(nq))
         qf = tuple(row(plan.i_qf[0] + i) for i in range(nq))
