@@ -659,7 +659,9 @@ def _build_kernel(plan: _Plan, n_substeps: int, eb: int = EB):
                 cdep_l.append(dep)
 
             if P == 0:
-                zp3 = jnp.zeros((0, eb // 128, 128), jnp.float32)
+                # single-tile dummies: Mosaic rejects zero-sized vectors,
+                # and nothing consumes these values when P == 0
+                zp3 = jnp.zeros((1, eb // 128, 128), jnp.float32)
                 cpos = (zp3, zp3, zp3)
                 cnrm = (zp3, zp3, zp3)
                 cdep = zp3
@@ -676,7 +678,7 @@ def _build_kernel(plan: _Plan, n_substeps: int, eb: int = EB):
             # contact-free models (e.g. cartpole: zero candidate pairs)
             # short-circuit every per-point stage
             if P == 0:
-                zp3 = jnp.zeros((0, eb // 128, 128), jnp.float32)
+                zp3 = jnp.zeros((1, eb // 128, 128), jnp.float32)
                 d_n = d_t = zp3
                 f_vel = f_pos = (zp3, zp3, zp3)
 
