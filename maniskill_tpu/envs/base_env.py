@@ -167,8 +167,14 @@ class BaseEnv:
         self.sim_steps_per_control = self.SIM_FREQ // self.CONTROL_FREQ
 
         # --- build scene (reference _reconfigure path, sapien_env.py:648) ---
-        agent_cls = REGISTERED_AGENTS[self.robot_uids]
-        self.agent: BaseAgent = agent_cls(control_mode=control_mode)
+        if isinstance(self.robot_uids, (tuple, list)):
+            from ..agents.multi_agent import MultiAgent
+
+            self.agent = MultiAgent(self.robot_uids,
+                                    control_mode=control_mode)
+        else:
+            agent_cls = REGISTERED_AGENTS[self.robot_uids]
+            self.agent: BaseAgent = agent_cls(control_mode=control_mode)
         self.control_mode = self.agent.control_mode
         builder = SceneSpecBuilder(params)
         self._load_agent(builder)

@@ -616,10 +616,21 @@ class SceneSpecBuilder:
             drive_kd = np.concatenate(kd_parts) if kd_parts else None
             drive_flim = np.concatenate(fl_parts) if fl_parts else None
 
+        robot_tree = getattr(self, "_forest_tree_id", None)
+
         def _tree_of(body: int) -> int:
-            if tree_id is None or body < 0:
+            if body < 0:
                 return 0
-            return int(tree_id[body])
+            if tree_id is not None:
+                # articulation merge: robot bodies are tree 0 unless the
+                # robot itself is a multi-agent forest
+                t = int(tree_id[body])
+                if t == 0 and robot_tree is not None and body < len(robot_tree):
+                    return -1 - int(robot_tree[body])  # distinct negatives
+                return t
+            if robot_tree is not None and body < len(robot_tree):
+                return -1 - int(robot_tree[body])
+            return 0
 
         pairs = []
         n = len(geoms)
