@@ -50,6 +50,59 @@ class Keyframe:
 REGISTERED_AGENTS: Dict[str, type] = {}
 
 
+def auto_capsule_collisions(
+    spec, default_radius: float = 0.045, radius_map=None,
+    tip_length: float = 0.08, friction: float = 0.3,
+):
+    """Generic primitive collision synthesis for mesh-only URDFs: one
+    capsule per body spanning its origin to each child's joint anchor (the
+    link's structural axis), plus a short tip capsule for leaf bodies.
+    The TPU-native stand-in for convex-mesh collision (the reference cooks
+    meshes through PhysX; this engine is primitive-narrowphase)."""
+    radius_map = radius_map or {}
+    out = []
+    children = {b: [] for b in range(spec.nb)}
+    for b in range(spec.nb):
+        par = int(spec.parent[b])
+        if par >= 0:
+            children[par].append(b)
+    for b in range(spec.nb):
+        name = spec.link_names[b]
+        r = radius_map.get(name, default_radius)
+        segs = [np.asarray(spec.joint_pos[c], np.float64)
+                for c in children[b]]
+        if not segs:
+            segs = [np.array([0.0, 0.0, tip_length])]
+        for seg in segs:
+            L = float(np.linalg.norm(seg))
+            if L < 1e-6:
+                out.append(dict(link=name, type=_GEOM_TYPE_BY_NAME["sphere"],
+                                size=np.array([r, 0, 0], np.float32),
+                                offset_p=np.zeros(3, np.float32),
+                                offset_q=np.array([1, 0, 0, 0], np.float32),
+                                friction=friction))
+                continue
+            z = seg / L
+            a = np.array([0.0, 0.0, 1.0])
+            c = float(np.dot(a, z))
+            if c > 1 - 1e-9:
+                q = np.array([1.0, 0, 0, 0])
+            elif c < -1 + 1e-9:
+                q = np.array([0.0, 1.0, 0, 0])
+            else:
+                ax = np.cross(a, z)
+                s_ = np.sqrt((1 + c) * 2)
+                q = np.array([s_ / 2, *(ax / s_)])
+            out.append(dict(
+                link=name, type=_GEOM_TYPE_BY_NAME["capsule"],
+                size=np.array([r, max(L / 2 - r / 2, 0.01), 0], np.float32),
+                offset_p=(seg / 2).astype(np.float32),
+                offset_q=q.astype(np.float32),
+                friction=friction,
+            ))
+    return out
+
+
 def register_agent(cls=None):
     """Agent registry decorator (reference agents/registration.py)."""
 

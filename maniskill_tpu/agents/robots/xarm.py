@@ -1,0 +1,78 @@
+"""XArm7 agent.
+
+Port of the reference xArm family (``mani_skill/agents/robots/xarm/`` and
+the xarm7 description shipped with the reference assets). The URDF carries
+mesh-only collisions; primitive capsules are synthesized along each link's
+structural axis (``auto_capsule_collisions`` — the TPU narrowphase is
+primitive-based). Arm-only variant (7 dof, no gripper): suited to the
+push/poke-style tabletop tasks.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ...utils.assets import ASSET_DIR
+from ..base_agent import (
+    BaseAgent,
+    Keyframe,
+    auto_capsule_collisions,
+    register_agent,
+)
+from ..controllers.base import (
+    PDJointPosControllerConfig,
+    PDJointVelControllerConfig,
+)
+
+XARM7_URDF = str(ASSET_DIR / "robots/xarm7/xarm7.urdf")
+
+ARM_JOINTS = [f"joint{i}" for i in range(1, 8)]
+
+
+@register_agent
+class XArm7(BaseAgent):
+    uid = "xarm7"
+    urdf_path = XARM7_URDF
+    ee_link_name = "link_eef"
+
+    arm_stiffness = 1e3
+    arm_damping = 1e2
+    arm_force_limit = 100
+
+    keyframes = dict(
+        rest=Keyframe(
+            qpos=np.array([0.0, 0.22, 0.0, 0.52, 0.0, 0.78, 0.0], np.float32)
+        )
+    )
+
+    def collision_geoms(self):
+        return auto_capsule_collisions(
+            self.robot_spec,
+            default_radius=0.05,
+            radius_map={"link6": 0.04, "link7": 0.035},
+        )
+
+    def _controller_configs(self):
+        common = dict(
+            joint_names=ARM_JOINTS,
+            stiffness=self.arm_stiffness,
+            damping=self.arm_damping,
+            force_limit=self.arm_force_limit,
+        )
+        return dict(
+            pd_joint_delta_pos=dict(
+                arm=PDJointPosControllerConfig(
+                    lower=-0.1, upper=0.1, use_delta=True, **common
+                )
+            ),
+            pd_joint_pos=dict(
+                arm=PDJointPosControllerConfig(
+                    lower=None, upper=None, normalize_action=False, **common
+                )
+            ),
+            pd_joint_vel=dict(
+                arm=PDJointVelControllerConfig(
+                    damping=self.arm_damping, force_limit=self.arm_force_limit,
+                    joint_names=ARM_JOINTS,
+                )
+            ),
+        )

@@ -44,6 +44,11 @@ class TableSceneBuilder:
             pose=np.array([-1.05, 0, -TABLE_HEIGHT, 1, 0, 0, 0], np.float32),
             qpos=None,  # resolved from the agent keyframe by joint name
         ),
+        "xarm7": dict(
+            pose=np.array([-0.52, 0, 0, 1, 0, 0, 0], np.float32),
+            qpos=np.array([0.0, 0.22, 0.0, 0.52, 0.0, 0.78, 0.0],
+                          np.float32),
+        ),
     }
 
     def __init__(self, env):

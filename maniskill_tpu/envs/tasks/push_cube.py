@@ -21,7 +21,7 @@ from ..scene_builders import TableSceneBuilder
 
 @register_env("PushCube-v1", max_episode_steps=50)
 class PushCubeEnv(BaseEnv):
-    SUPPORTED_ROBOTS = ["panda", "panda_wristcam", "fetch"]
+    SUPPORTED_ROBOTS = ["panda", "panda_wristcam", "fetch", "xarm7"]
     DEFAULT_ROBOT = "panda_wristcam"
 
     goal_radius = 0.1

@@ -318,8 +318,9 @@ def parse_urdf(path: str, root_link: Optional[str] = None) -> RobotSpec:
             com[body_i] = (mass[body_i] * com[body_i] + ln.mass * c_new) / m_tot
             mass[body_i] = m_tot
             inertia[body_i] = inertia[body_i] + I_new
-        if not (np.allclose(off_p, 0) and abs(off_q[0]) > 1 - 1e-9) or body_i < 0:
-            frames[link_name] = (body_i, off_p.copy(), off_q.copy())
+        # register every fused link as a frame — identity offsets included
+        # (an eef link welded at its parent's origin must still resolve)
+        frames[link_name] = (body_i, off_p.copy(), off_q.copy())
         for (ctype, csize, cp, cq) in ln.collisions:
             gp, gq = _pose_mul(off_p, off_q, cp, cq)
             entry = (link_name, ctype, csize, gp, gq)
