@@ -3,4 +3,4 @@ from .cartpole import CartPoleRobot  # noqa: F401
 from .fetch import Fetch  # noqa: F401
 from .trifinger import TriFingerPro  # noqa: F401
 from .panda_stick import PandaStick  # noqa: F401
-from .xarm import XArm7  # noqa: F401
+from .xarm import XArm7, AllegroHandRight, DClaw  # noqa: F401

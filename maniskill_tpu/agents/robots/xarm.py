@@ -76,3 +76,84 @@ class XArm7(BaseAgent):
                 )
             ),
         )
+
+
+ALLEGRO_URDF = str(ASSET_DIR / "robots/allegro/allegro_hand_right.urdf")
+DCLAW_URDF = str(ASSET_DIR / "robots/dclaw/dclaw_gripper_glb.urdf")
+
+
+@register_agent
+class AllegroHandRight(BaseAgent):
+    """Allegro right hand, fixed base (reference
+    ``agents/robots/allegro_hand/allegro.py``; 16 dof, 4 fingers).
+    Auto-capsule collisions with finger-scale radii."""
+
+    uid = "allegro_hand_right"
+    urdf_path = ALLEGRO_URDF
+    ee_link_name = None
+
+    stiffness = 4e2
+    damping = 10.0
+    force_limit = 10.0
+
+    def _make_robot_spec(self):
+        spec = super()._make_robot_spec()
+        self.keyframes = dict(
+            rest=Keyframe(qpos=np.zeros(spec.nb, np.float32))
+        )
+        return spec
+
+    def collision_geoms(self):
+        return auto_capsule_collisions(
+            self.robot_spec, default_radius=0.014, tip_length=0.035,
+            friction=1.0,
+        )
+
+    def _controller_configs(self):
+        names = list(self.robot_spec.joint_names)
+        common = dict(joint_names=names, stiffness=self.stiffness,
+                      damping=self.damping, force_limit=self.force_limit)
+        return dict(
+            pd_joint_delta_pos=dict(hand=PDJointPosControllerConfig(
+                lower=-0.1, upper=0.1, use_delta=True, **common)),
+            pd_joint_pos=dict(hand=PDJointPosControllerConfig(
+                lower=None, upper=None, normalize_action=False, **common)),
+        )
+
+
+@register_agent
+class DClaw(BaseAgent):
+    """ROBEL D'Claw 9-dof tri-finger gripper (reference
+    ``agents/robots/dclaw/dclaw.py``), fixed base, auto-capsule fingers."""
+
+    uid = "dclaw"
+    urdf_path = DCLAW_URDF
+    ee_link_name = None
+
+    stiffness = 1e2
+    damping = 5.0
+    force_limit = 20.0
+
+    def _make_robot_spec(self):
+        spec = super()._make_robot_spec()
+        self.keyframes = dict(
+            rest=Keyframe(qpos=np.zeros(spec.nb, np.float32))
+        )
+        return spec
+
+    def collision_geoms(self):
+        return auto_capsule_collisions(
+            self.robot_spec, default_radius=0.018, tip_length=0.04,
+            friction=1.0,
+        )
+
+    def _controller_configs(self):
+        names = list(self.robot_spec.joint_names)
+        common = dict(joint_names=names, stiffness=self.stiffness,
+                      damping=self.damping, force_limit=self.force_limit)
+        return dict(
+            pd_joint_delta_pos=dict(claw=PDJointPosControllerConfig(
+                lower=-0.1, upper=0.1, use_delta=True, **common)),
+            pd_joint_pos=dict(claw=PDJointPosControllerConfig(
+                lower=None, upper=None, normalize_action=False, **common)),
+        )

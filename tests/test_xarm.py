@@ -21,3 +21,20 @@ def test_xarm7_pushcube_runs():
         obs, rew, term, trunc, info = env.step(act)
     assert np.isfinite(np.asarray(obs)).all()
     assert np.isfinite(np.asarray(rew)).all()
+
+
+def test_allegro_and_dclaw_load():
+    for uid, nq in [("allegro_hand_right", 16), ("dclaw", 9)]:
+        a = REGISTERED_AGENTS[uid](control_mode=None)
+        assert a.nq == nq
+        assert len(a.collision_geoms()) >= nq
+
+
+def test_rotate_valve_dclaw_runs():
+    env = mst.make("RotateValveDClaw-v1", num_envs=2)
+    obs, _ = env.reset(seed=0)
+    for t in range(5):
+        act = np.random.default_rng(t).uniform(
+            -1, 1, (2, env.action_dim)).astype(np.float32)
+        obs, rew, term, trunc, info = env.step(act)
+    assert np.isfinite(np.asarray(obs)).all()
