@@ -98,9 +98,13 @@ class AllegroHandRight(BaseAgent):
 
     def _make_robot_spec(self):
         spec = super()._make_robot_spec()
-        self.keyframes = dict(
-            rest=Keyframe(qpos=np.zeros(spec.nb, np.float32))
-        )
+        # cradle rest pose: fingers slightly curled so a palm-facing-up
+        # hand forms a lip that keeps resting objects from rolling off
+        q = np.zeros(spec.nb, np.float32)
+        for f in range(3):
+            q[4 * f + 1:4 * f + 4] = [0.45, 0.45, 0.3]
+        q[12:16] = [1.1, 0.35, 0.35, 0.3]
+        self.keyframes = dict(rest=Keyframe(qpos=q))
         return spec
 
     def collision_geoms(self):

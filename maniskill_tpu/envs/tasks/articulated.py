@@ -245,3 +245,64 @@ class TurnFaucetEnv(BaseEnv):
 
     def compute_normalized_dense_reward(self, state, action, info, ctx):
         return self.compute_dense_reward(state, action, info, ctx) / 5.0
+
+
+@register_env("OpenCabinetDoor-v1", max_episode_steps=100)
+class OpenCabinetDoorEnv(OpenCabinetDrawerEnv):
+    """Swing the cabinet door open past ``min_open_frac`` of its travel
+    (reference open_cabinet_drawer.py:361 ``OpenCabinetDoorEnv`` — same
+    contract with a revolute handle joint)."""
+
+    door_travel = np.pi / 2
+
+    def _load_scene(self, builder: SceneSpecBuilder):
+        builder.add_static_body(
+            "ground", np.array([0, 0, 0, 1, 0, 0, 0], np.float32),
+            [plane_geom(friction=0.5)],
+        )
+        z = self.drawer_z
+        ab = ArticulationBuilder("cabinet")
+        door = ab.add_revolute_link(
+            "door", parent=None, axis=(0.0, 0.0, 1.0),
+            limits=(0.0, self.door_travel),
+            # hinge on the left edge of the front face
+            joint_pose=((-0.14, 0.19, z), (1, 0, 0, 0)),
+            mass=1.2, damping=1.5, friction=0.8,
+        )
+        # door panel extends from the hinge toward -y; handle bar near the
+        # free edge
+        ab.add_geom(door, box_geom(
+            [0.01, 0.18, 0.095], offset_p=(-0.01, -0.19, 0.0), friction=0.6,
+        ))
+        ab.add_geom(door, box_geom(
+            [0.012, 0.012, 0.05], offset_p=(-0.035, -0.33, 0.0),
+            friction=1.0,
+        ))
+        w = 0.02
+        for (off, half) in [
+            ((0.0, 0.0, 0.095 + w / 2), (0.14, 0.20, w / 2)),   # top
+            ((0.0, 0.0, -0.095 - w / 2), (0.14, 0.20, w / 2)),  # bottom
+            ((0.0, 0.21 + w / 2, 0.0), (0.14, w / 2, 0.095)),   # left
+            ((0.0, -0.21 - w / 2, 0.0), (0.14, w / 2, 0.095)),  # right
+            ((0.14 + w / 2, 0.0, 0.0), (w / 2, 0.22, 0.115)),   # back
+        ]:
+            ab.add_base_geom(
+                box_geom(half, offset_p=(off[0], off[1], off[2] + z),
+                         friction=0.5)
+            )
+        builder.add_articulation(ab, np.array([0, 0, 0, 1, 0, 0, 0]))
+        builder.exclude_pair("cabinet:door", "cabinet:base")
+        builder.exclude_groups(["cabinet:*"], ["ground"])
+
+    def _post_build(self):
+        self._drawer_body = int(self.model.art_dof_index["cabinet"][0])
+        self.target_qpos = self.min_open_frac * self.door_travel
+
+    @property
+    def drawer_travel(self):  # reward/eval reuse (open_frac denominator)
+        return self.door_travel
+
+    def _handle_pos(self, ctx):
+        b = self._drawer_body
+        off = jnp.array([-0.047, -0.33, 0.0])
+        return ctx.body_pos[b] + quat_apply(ctx.body_quat[b], off)

@@ -271,7 +271,12 @@ class SceneModel:
                     ga, gb = gb, ga
                 fn, k = box_box_onesided, 8
             mu = 0.5 * (ga.friction + gb.friction)  # PhysX default: average
-            self.pair_table.append((ia, ib, fn, k, swapped, mu))
+            if swapped:
+                # contact_fn resolved the REVERSED type order: store the
+                # pair as (fn's A, fn's B) so poses/sizes and the returned
+                # B->A normal line up with the meta side tables
+                ia, ib = ib, ia
+            self.pair_table.append((ia, ib, fn, k, False, mu))
         self.n_contact_points = sum(t[3] for t in self.pair_table)
 
         # Type-grouped pair table: all pairs sharing a contact function are

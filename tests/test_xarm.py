@@ -38,3 +38,34 @@ def test_rotate_valve_dclaw_runs():
             -1, 1, (2, env.action_dim)).astype(np.float32)
         obs, rew, term, trunc, info = env.step(act)
     assert np.isfinite(np.asarray(obs)).all()
+
+
+def test_rotate_cube_in_hand_rests():
+    """The cube must settle into the allegro cradle and survive small
+    finger motions (also regression for the swapped-pair narrowphase fix:
+    box-capsule pairs previously called capsule_box with reversed args)."""
+    env = mst.make("RotateCubeInHandAllegro-v1", num_envs=2)
+    env.reset(seed=0)
+    a = np.zeros((2, env.action_dim), np.float32)
+    for _ in range(25):
+        obs, rew, term, trunc, info = env.step(a)
+    assert not np.asarray(info["fail"]).any()
+    z = np.asarray(env._state.sim.free_pose[:, 0, 2])
+    assert np.all(z > 0.2)
+
+
+def test_cum_angle_tracks_rotation():
+    import jax.numpy as jnp
+
+    env = mst.make("RotateCubeInHandAllegro-v1", num_envs=1)
+    env.reset(seed=0)
+    st = env._state
+    # free-flying cube spinning about +z (no contact: angle integrates)
+    fp = st.sim.free_pose.at[:, 0, 2].set(0.6)
+    fv = st.sim.free_vel.at[:, 0, 5].set(2.0)
+    env._state = st.replace(sim=st.sim.replace(free_pose=fp, free_vel=fv))
+    for _ in range(4):
+        obs, rew, term, trunc, info = env.step(
+            np.zeros((1, env.action_dim), np.float32))
+    # ~2 rad/s * 0.05 s * 4 steps = 0.4 rad accumulated
+    assert float(np.asarray(info["cum_angle"])[0]) > 0.25
