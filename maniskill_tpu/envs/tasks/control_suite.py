@@ -240,3 +240,99 @@ class AntRunEnv(_AntEnv):
     """Run at 4 m/s (reference ant.py:314-330)."""
 
     move_speed = _RUN_SPEED
+
+
+_STAND_HEIGHT_HUM = 1.4  # reference humanoid.py:21
+_WALK_SPEED_HUM = 1.0
+_RUN_SPEED_HUM = 10.0
+
+
+@register_agent
+class HumanoidRobot(_MJCFAgent):
+    uid = "humanoid"
+    mjcf_path = ASSET_DIR / "robots/humanoid/humanoid.xml"
+    keyframes = {"rest": Keyframe(qpos=np.zeros(27, np.float32))}
+
+
+class _HumanoidEnv(_ControlEnv):
+    """dm_control humanoid locomotion scaffolding (reference
+    ``mani_skill/envs/tasks/control/humanoid.py``)."""
+
+    SUPPORTED_ROBOTS = ["humanoid"]
+    DEFAULT_ROBOT = "humanoid"
+    move_speed = 0.0
+
+    def _initialize_episode(self, state, key):
+        nq = self.model.nq
+        k1, k2 = jax.random.split(key)
+        dq = jax.random.uniform(k1, (nq,), minval=-1e-2, maxval=1e-2)
+        dv = jax.random.uniform(k2, (nq,), minval=-1e-2, maxval=1e-2)
+        qlim = jnp.asarray(self.model.robot_qlim)
+        q = jnp.clip(jnp.zeros(nq), qlim[:, 0] + 0.1, qlim[:, 1] - 0.1) + dq
+        # torso at the XML origin; feet reach z=-0.98 -> lift the root
+        q = q.at[2].set(1.23)
+        sim = state.sim.replace(qpos=q, qvel=dv)
+        return state.replace(sim=sim)
+
+    def _head_height(self, ctx):
+        head = self.model.robot.frame_of("head")
+        b, off, _ = head
+        from ...math.rotations import quat_apply as _qa
+
+        return (ctx.body_pos[b]
+                + _qa(ctx.body_quat[b], jnp.asarray(off, jnp.float32)))[2]
+
+    def _torso_upright(self, ctx):
+        torso = self.model.robot.link_index["torso"]
+        q = ctx.body_quat[torso]
+        # world z-component of the torso z axis = R[2,2]
+        w, x, y, z = q[0], q[1], q[2], q[3]
+        return 1.0 - 2.0 * (x * x + y * y)
+
+    def compute_dense_reward(self, state, action, info, ctx):
+        standing = rewards.tolerance(
+            self._head_height(ctx), lower=_STAND_HEIGHT_HUM, upper=jnp.inf,
+            margin=_STAND_HEIGHT_HUM / 4,
+        )
+        upright = rewards.tolerance(
+            self._torso_upright(ctx), lower=0.9, upper=jnp.inf,
+            sigmoid="linear", margin=1.9, value_at_margin=0,
+        )
+        small_control = (
+            4 + rewards.tolerance(action, margin=1, value_at_margin=0,
+                                  sigmoid="quadratic").mean()
+        ) / 5
+        stand_reward = standing * upright
+        com_xy = self._com_vel(state, ctx)[:2]
+        if self.move_speed == 0.0:
+            dont_move = rewards.tolerance(com_xy, margin=2.0).mean()
+            return small_control * stand_reward * dont_move
+        move = rewards.tolerance(
+            jnp.linalg.norm(com_xy), lower=self.move_speed, upper=jnp.inf,
+            margin=self.move_speed, value_at_margin=0, sigmoid="linear",
+        )
+        return small_control * stand_reward * move
+
+    def compute_normalized_dense_reward(self, state, action, info, ctx):
+        return self.compute_dense_reward(state, action, info, ctx)
+
+
+@register_env("MS-HumanoidStand-v1", max_episode_steps=1000)
+class HumanoidStandEnv(_HumanoidEnv):
+    """Stand upright without moving (reference humanoid.py:284)."""
+
+    move_speed = 0.0
+
+
+@register_env("MS-HumanoidWalk-v1", max_episode_steps=1000)
+class HumanoidWalkEnv(_HumanoidEnv):
+    """Walk at 1 m/s (reference humanoid.py:354)."""
+
+    move_speed = _WALK_SPEED_HUM
+
+
+@register_env("MS-HumanoidRun-v1", max_episode_steps=1000)
+class HumanoidRunEnv(_HumanoidEnv):
+    """Run at 10 m/s (reference humanoid.py:386)."""
+
+    move_speed = _RUN_SPEED_HUM

@@ -371,8 +371,9 @@ def load_mjcf(path: str, root_prefix: str = "") -> MJCFModel:
         link_index[b["name"]] = i
         frames[b["name"]] = (i, np.zeros(3), np.array([1.0, 0, 0, 0]))
         for fname, (fp, fq) in b["frames"].items():
+            # welded frames carry real offsets: keep them OUT of link_index
+            # (frame_of prefers link_index, which implies a zero offset)
             frames[fname] = (i, fp, fq)
-            link_index.setdefault(fname, i)
 
     spec = RobotSpec(
         name=root.get("model", "mjcf"),

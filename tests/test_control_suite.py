@@ -40,7 +40,7 @@ def test_mjcf_ant_freejoint_expansion():
 
 @pytest.mark.parametrize(
     "env_id", ["MS-HopperStand-v1", "MS-HopperHop-v1", "MS-AntWalk-v1",
-               "MS-AntRun-v1"]
+               "MS-AntRun-v1", "MS-HumanoidStand-v1", "MS-HumanoidWalk-v1"]
 )
 def test_control_env_random_steps(env_id):
     env = mst.make(env_id, num_envs=2)
@@ -65,3 +65,16 @@ def test_hopper_stand_reward_when_upright():
     obs, rew, term, trunc, si = env.step(
         np.zeros((2, env.action_dim), np.float32))
     assert np.all(np.asarray(rew) > 0.9), np.asarray(rew)
+
+
+def test_humanoid_head_height_and_upright():
+    import jax
+    from maniskill_tpu.envs.base_env import TaskContext
+
+    env = mst.make("MS-HumanoidStand-v1", num_envs=1)
+    env.reset(seed=0)
+    ctx = TaskContext(env, jax.tree.map(lambda x: x[0], env._state))
+    h = float(env._head_height(ctx))
+    assert 1.2 < h < 1.6, h  # spawned standing
+    u = float(env._torso_upright(ctx))
+    assert u > 0.9, u
