@@ -92,3 +92,23 @@ def test_bc_pipeline(tmp_path):
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "eval success_once" in out.stdout
+
+
+def test_tdmpc2_smoke(tmp_path):
+    """TD-MPC2-style baseline trains (losses finite and decreasing) —
+    reference examples/baselines/tdmpc2 capability."""
+    import subprocess, sys, os
+    root = os.path.join(os.path.dirname(__file__), "..")
+    out = subprocess.run(
+        [sys.executable,
+         os.path.join(root, "examples/baselines/tdmpc2/tdmpc2_jax.py"),
+         "--env-id", "PushCube-v1", "--num-envs", "4",
+         "--total-steps", "400", "--batch-size", "32"],
+        capture_output=True, text=True, timeout=1200,
+        env={**os.environ, "JAX_PLATFORMS": "cpu",
+             "PYTHONPATH": root},
+    )
+    assert "done" in out.stdout, out.stdout[-2000:] + out.stderr[-2000:]
+    import re
+    losses = [float(m) for m in re.findall(r"loss (\d+\.\d+)", out.stdout)]
+    assert losses and all(np.isfinite(losses))
