@@ -112,3 +112,28 @@ def test_tdmpc2_smoke(tmp_path):
     import re
     losses = [float(m) for m in re.findall(r"loss (\d+\.\d+)", out.stdout)]
     assert losses and all(np.isfinite(losses))
+
+
+def test_diffusion_policy_pipeline(tmp_path):
+    """Diffusion-policy baseline: record demos -> train DDPM over action
+    chunks -> evaluate (reference examples/baselines/diffusion_policy
+    capability; same completion bar as the BC pipeline test)."""
+    env = subprocess.run(
+        [
+            sys.executable, "-m", "maniskill_tpu.examples.motionplanning.run",
+            "-e", "PushCube-v1", "-n", "4", "--traj-dir", str(tmp_path),
+        ],
+        cwd=REPO, capture_output=True, text=True, timeout=600,
+    )
+    assert env.returncode == 0, env.stderr[-2000:]
+    out = subprocess.run(
+        [
+            sys.executable, "examples/baselines/diffusion_policy/dp_jax.py",
+            "--env-id", "PushCube-v1",
+            "--dataset", str(tmp_path / "trajectory.h5"),
+            "--epochs", "10", "--eval-envs", "4", "--eval-steps", "8",
+        ],
+        cwd=REPO, capture_output=True, text=True, timeout=900,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "eval success_once" in out.stdout
