@@ -45,6 +45,10 @@ _SUPPORTED_FNS = {
     "sphere_box",
     "box_sphere",
     "sphere_sphere",
+    "plane_capsule",
+    "sphere_capsule",
+    "capsule_box",
+    "capsule_capsule",
 }
 _CHUNK = 32  # max contact points processed at once (VMEM transient cap)
 
@@ -356,8 +360,11 @@ def _build_kernel(plan: _Plan, n_substeps: int, eb: int = EB):
     tiled_signs = np.tile(CORNER_SIGNS, (reps, 1))[:P_]  # (P, 3)
     const_rows = [plan.sm[k] for k in range(nq)]
     const_rows += [plan.sgn_free[j] for j in range(F)]
+    alt2 = np.tile(np.array([-1.0, 1.0]), max(1, -(-P_ // 2)))[:P_]
+    alt3 = np.tile(np.array([-1.0, 0.0, 1.0]), max(1, -(-P_ // 3)))[:P_]
     const_rows += [plan.cmu, d_n0_np,
-                   tiled_signs[:, 0], tiled_signs[:, 1], tiled_signs[:, 2]]
+                   tiled_signs[:, 0], tiled_signs[:, 1], tiled_signs[:, 2],
+                   alt2, alt3]
     const_plane = (
         np.broadcast_to(
             np.stack(const_rows).astype(np.float32)[:, :, None],
@@ -370,6 +377,8 @@ def _build_kernel(plan: _Plan, n_substeps: int, eb: int = EB):
     _r_cmu = nq + F
     _r_dn0 = nq + F + 1
     _r_cs = nq + F + 2
+    _r_alt2 = nq + F + 5
+    _r_alt3 = nq + F + 6
 
     def kernel(in_ref, cref, out_ref):
         def pcst(r):
@@ -597,6 +606,105 @@ def _build_kernel(plan: _Plan, n_substeps: int, eb: int = EB):
                     )
                     dist = _dot(_sub(corner, tuple(pa)), n)
                     pos, nrm, dep = corner, _scale(n, -1.0), -dist
+                elif name == "plane_capsule":
+                    # 2 pts/pair: capsule ends vs the plane halfspace
+                    rep2 = 2
+                    pa = [_stk([gpos[i][c] for i in ia_l
+                                for _ in range(rep2)]) for c in range(3)]
+                    qa = [_stk([gquat[i][c] for i in ia_l
+                                for _ in range(rep2)]) for c in range(4)]
+                    pb = [_stk([gpos[i][c] for i in ib_l
+                                for _ in range(rep2)]) for c in range(3)]
+                    qb = [_stk([gquat[i][c] for i in ib_l
+                                for _ in range(rep2)]) for c in range(4)]
+                    sb = [_stk([geom_size(i)[c] for i in ib_l
+                                for _ in range(rep2)]) for c in range(3)]
+                    n = _qapply(tuple(qa), (0.0 * pa[0], 0.0 * pa[0],
+                                            jnp.ones_like(pa[0])))
+                    axis = _qapply(tuple(qb), (0.0 * pb[0], 0.0 * pb[0],
+                                               jnp.ones_like(pb[0])))
+                    sgn2 = pcst(_r_alt2)[:rep2 * npair]
+                    end = _add(tuple(pb), _scale(axis, sb[1] * sgn2))
+                    r = sb[0]
+                    dist = _dot(_sub(end, tuple(pa)), n) - r
+                    pos = _sub(end, _scale(n, r + 0.5 * dist))
+                    nrm, dep = _scale(n, -1.0), -dist
+                elif name == "sphere_capsule":
+                    pa = [_stk([gpos[i][c] for i in ia_l]) for c in range(3)]
+                    sa = [_stk([geom_size(i)[c] for i in ia_l])
+                          for c in range(3)]
+                    pb = [_stk([gpos[i][c] for i in ib_l]) for c in range(3)]
+                    qb = [_stk([gquat[i][c] for i in ib_l]) for c in range(4)]
+                    sb = [_stk([geom_size(i)[c] for i in ib_l])
+                          for c in range(3)]
+                    axis = _qapply(tuple(qb), (0.0 * pb[0], 0.0 * pb[0],
+                                               jnp.ones_like(pb[0])))
+                    t_ = jnp.clip(_dot(_sub(tuple(pa), tuple(pb)), axis),
+                                  -sb[1], sb[1])
+                    closest = _add(tuple(pb), _scale(axis, t_))
+                    d = _sub(tuple(pa), closest)
+                    dist = jnp.sqrt(_dot(d, d) + 1e-18)
+                    n = _scale(d, 1.0 / dist)
+                    dep = sa[0] + sb[0] - dist
+                    pos = _add(closest, _scale(n, sb[0] - 0.5 * dep))
+                    nrm = n
+                elif name == "capsule_box":
+                    # 3 sample spheres along the capsule axis vs the box
+                    rep3 = 3
+                    pa = [_stk([gpos[i][c] for i in ia_l
+                                for _ in range(rep3)]) for c in range(3)]
+                    qa = [_stk([gquat[i][c] for i in ia_l
+                                for _ in range(rep3)]) for c in range(4)]
+                    sa = [_stk([geom_size(i)[c] for i in ia_l
+                                for _ in range(rep3)]) for c in range(3)]
+                    pb = [_stk([gpos[i][c] for i in ib_l
+                                for _ in range(rep3)]) for c in range(3)]
+                    qb = [_stk([gquat[i][c] for i in ib_l
+                                for _ in range(rep3)]) for c in range(4)]
+                    sb = [_stk([geom_size(i)[c] for i in ib_l
+                                for _ in range(rep3)]) for c in range(3)]
+                    axis = _qapply(tuple(qa), (0.0 * pa[0], 0.0 * pa[0],
+                                               jnp.ones_like(pa[0])))
+                    sgn3 = pcst(_r_alt3)[:rep3 * npair]
+                    center = _add(tuple(pa), _scale(axis, sa[1] * sgn3))
+                    loc = _qapply(_qconj(tuple(qb)),
+                                  _sub(center, tuple(pb)))
+                    sdf, n_loc = sdf_box(loc[0], loc[1], loc[2],
+                                         sb[0], sb[1], sb[2])
+                    n = _qapply(tuple(qb), n_loc)
+                    r = sa[0]
+                    dep = r - sdf
+                    pos = _sub(center, _scale(n, r - 0.5 * dep))
+                    nrm = n
+                elif name == "capsule_capsule":
+                    pa = [_stk([gpos[i][c] for i in ia_l]) for c in range(3)]
+                    qa = [_stk([gquat[i][c] for i in ia_l]) for c in range(4)]
+                    sa = [_stk([geom_size(i)[c] for i in ia_l])
+                          for c in range(3)]
+                    pb = [_stk([gpos[i][c] for i in ib_l]) for c in range(3)]
+                    qb = [_stk([gquat[i][c] for i in ib_l]) for c in range(4)]
+                    sb = [_stk([geom_size(i)[c] for i in ib_l])
+                          for c in range(3)]
+                    ua = _qapply(tuple(qa), (0.0 * pa[0], 0.0 * pa[0],
+                                             jnp.ones_like(pa[0])))
+                    ub = _qapply(tuple(qb), (0.0 * pb[0], 0.0 * pb[0],
+                                             jnp.ones_like(pb[0])))
+                    d0 = _sub(tuple(pa), tuple(pb))
+                    b_ = _dot(ua, ub)
+                    c_ = _dot(ua, d0)
+                    f_ = _dot(ub, d0)
+                    denom = jnp.maximum(1.0 - b_ * b_, 1e-9)
+                    s_ = jnp.clip((b_ * f_ - c_) / denom, -sa[1], sa[1])
+                    t_ = jnp.clip(b_ * s_ + f_, -sb[1], sb[1])
+                    s_ = jnp.clip(b_ * t_ - c_, -sa[1], sa[1])
+                    ca_ = _add(tuple(pa), _scale(ua, s_))
+                    cb_ = _add(tuple(pb), _scale(ub, t_))
+                    d = _sub(ca_, cb_)
+                    dist = jnp.sqrt(_dot(d, d) + 1e-18)
+                    n = _scale(d, 1.0 / dist)
+                    dep = sa[0] + sb[0] - dist
+                    pos = _add(cb_, _scale(n, sb[0] - 0.5 * dep))
+                    nrm = n
                 elif name == "box_box_onesided":
                     pos, nrm, dep = corners_in_box(ia_l, ib_l)
                 elif name == "box_box":

@@ -102,3 +102,31 @@ def test_megakernel_contact_free_model():
         np.asarray(sim_k.qpos), np.asarray(sim_x.qpos), atol=1e-6)
     np.testing.assert_allclose(
         np.asarray(sim_k.qvel), np.asarray(sim_x.qvel), atol=1e-6)
+
+
+@pytest.mark.parametrize("env_id", ["RotateCube-v1", "MS-HopperStand-v1"])
+def test_megakernel_capsule_models(env_id):
+    """Capsule narrowphase in-kernel (trifinger capsules-vs-cube; hopper
+    capsules-vs-plane) matches the XLA path."""
+    env = mst.make(env_id, num_envs=4)
+    env.reset(seed=0)
+    model = env.model
+    assert megakernel.supports(model), env_id
+    sim = jax.tree.map(lambda x: x[:4], env._state.sim)
+    cmd = jax.tree.map(lambda x: x[:4], env._state.cmd)
+    n = env.sim_steps_per_control
+    k_step = megakernel.make_pallas_step_fn(
+        model, sim_steps=2, interpret=True, eb=128)
+    sim_k, _ = k_step(sim, cmd)
+    xla = make_step_fn(model)
+    sim_x = jax.vmap(lambda s, c: xla(s, c, 2))(sim, cmd)
+    np.testing.assert_allclose(
+        np.asarray(sim_k.qpos), np.asarray(sim_x.qpos), atol=5e-5)
+    np.testing.assert_allclose(
+        np.asarray(sim_k.qvel), np.asarray(sim_x.qvel), atol=5e-4)
+    np.testing.assert_allclose(
+        np.asarray(sim_k.free_pose), np.asarray(sim_x.free_pose),
+        atol=5e-5)
+    np.testing.assert_allclose(
+        np.asarray(sim_k.contact_lam), np.asarray(sim_x.contact_lam),
+        atol=1e-2)
