@@ -1,12 +1,22 @@
-"""Prebuilt scene builders (table scene).
+"""Prebuilt scene builders + registry.
 
-TPU-native analogue of the reference's ``TableSceneBuilder``
-(``mani_skill/utils/scene_builder/table/scene_builder.py``): the table is a
-static box whose top surface is z=0, ground plane at the table foot, robot at
-the standard tabletop mount with the standard init qpos (+ per-episode noise
-applied by the env's ``robot_init_qpos_noise``).
+TPU-native analogue of the reference scene-builder framework
+(``mani_skill/utils/scene_builder/``): named, registered builders that lay
+down static scene structure and robot mounts. ``TableSceneBuilder`` mirrors
+``scene_builder/table/scene_builder.py``; ``GroundSceneBuilder`` is the
+bare-floor layout locomotion/mobile tasks use; ``KitchenCounterSceneBuilder``
+is a primitive procedural counter (the mesh-based ReplicaCAD/RoboCasa
+dataset builders need asset meshes — out of primitive-narrowphase scope,
+tracked in PLAN.md).
+
+Registry (reference scene_builder/registration.py)::
+
+    from maniskill_tpu.envs.scene_builders import REGISTERED_SCENE_BUILDERS
+    cls = REGISTERED_SCENE_BUILDERS["table"]
 """
 from __future__ import annotations
+
+from typing import Dict, Type
 
 import jax.numpy as jnp
 import numpy as np
@@ -15,7 +25,19 @@ from ..physics.model import SceneSpecBuilder, box_geom, plane_geom
 
 TABLE_HEIGHT = 0.9196429  # reference scene_builder.py:61
 
+REGISTERED_SCENE_BUILDERS: Dict[str, type] = {}
 
+
+def register_scene_builder(name: str):
+    def deco(cls):
+        REGISTERED_SCENE_BUILDERS[name] = cls
+        cls.name = name
+        return cls
+
+    return deco
+
+
+@register_scene_builder("table")
 class TableSceneBuilder:
     """Static table + ground; robot mount poses per supported robot
     (reference scene_builder.py:19-120)."""
@@ -87,3 +109,64 @@ class TableSceneBuilder:
                 np.float32,
             )
         return cfg["pose"], qpos
+
+
+@register_scene_builder("ground")
+class GroundSceneBuilder:
+    """Bare ground plane (locomotion / mobile-manipulation layouts)."""
+
+    def __init__(self, env, friction: float = 1.0):
+        self.env = env
+        self.friction = friction
+
+    def build(self, builder: SceneSpecBuilder):
+        builder.add_static_body(
+            "ground", np.array([0, 0, 0, 1, 0, 0, 0], np.float32),
+            [plane_geom(friction=self.friction)],
+        )
+
+    def robot_pose_and_qpos(self, robot_uid: str):
+        return np.array([0, 0, 0, 1, 0, 0, 0], np.float32), None
+
+
+@register_scene_builder("kitchen_counter")
+class KitchenCounterSceneBuilder:
+    """Procedural kitchen counter: worktop at z=0 with a backsplash wall
+    and a lower plinth — a primitive-geometry stand-in for the RoboCasa
+    counter layouts (reference scene_builder/robocasa, mesh-based)."""
+
+    COUNTER_HEIGHT = 0.92
+    TOP_HALF = np.array([0.4, 1.0, 0.02], np.float32)
+
+    def __init__(self, env):
+        self.env = env
+
+    def build(self, builder: SceneSpecBuilder):
+        ch = self.COUNTER_HEIGHT
+        builder.add_static_body(
+            "counter-top",
+            np.array([0.0, 0.0, -self.TOP_HALF[2], 1, 0, 0, 0], np.float32),
+            [box_geom(self.TOP_HALF, friction=0.6)],
+        )
+        builder.add_static_body(
+            "counter-body",
+            np.array([0.05, 0.0, -ch / 2, 1, 0, 0, 0], np.float32),
+            [box_geom([0.35, 0.98, ch / 2 - 0.02])],
+        )
+        builder.add_static_body(
+            "backsplash",
+            np.array([0.42, 0.0, 0.25, 1, 0, 0, 0], np.float32),
+            [box_geom([0.02, 1.0, 0.3])],
+        )
+        builder.add_static_body(
+            "ground",
+            np.array([0, 0, -ch, 1, 0, 0, 0], np.float32),
+            [plane_geom()],
+        )
+        builder.exclude_groups(["robot:*"], ["ground"])
+
+    def robot_pose_and_qpos(self, robot_uid: str):
+        cfg = TableSceneBuilder.ROBOT_INIT.get(
+            robot_uid, TableSceneBuilder.ROBOT_INIT["panda"]
+        )
+        return cfg["pose"], cfg["qpos"]

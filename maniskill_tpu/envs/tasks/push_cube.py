@@ -107,3 +107,17 @@ class PushCubeEnv(BaseEnv):
 
     def compute_normalized_dense_reward(self, state, action, info, ctx):
         return self.compute_dense_reward(state, action, info, ctx) / 3.0
+
+
+@register_env("PushCubeKitchen-v1", max_episode_steps=50)
+class PushCubeKitchenEnv(PushCubeEnv):
+    """PushCube on the procedural kitchen counter — exercises the
+    scene-builder registry (reference scene-builder framework +
+    RoboCasa-style layout swap)."""
+
+    def _load_agent(self, builder):
+        from ..scene_builders import REGISTERED_SCENE_BUILDERS
+
+        self.table_scene = REGISTERED_SCENE_BUILDERS["kitchen_counter"](self)
+        pose, qpos = self.table_scene.robot_pose_and_qpos(self.robot_uids)
+        self.agent.install(builder, pose, init_qpos=qpos)

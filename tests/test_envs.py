@@ -184,3 +184,20 @@ def test_obs_mode_matrix(env_id, obs_mode):
         for l in leaves
         if jnp.asarray(l).dtype.kind == "f"
     ), (env_id, obs_mode)
+
+
+def test_scene_builder_registry():
+    """Scene builders register by name and swap into tasks (reference
+    utils/scene_builder registration framework)."""
+    from maniskill_tpu.envs.scene_builders import REGISTERED_SCENE_BUILDERS
+
+    assert {"table", "ground", "kitchen_counter"} <= set(
+        REGISTERED_SCENE_BUILDERS)
+    import maniskill_tpu as mst
+
+    env = mst.make("PushCubeKitchen-v1", num_envs=2)
+    obs, _ = env.reset(seed=0)
+    a = np.random.RandomState(0).uniform(
+        -1, 1, (2, env.action_dim)).astype(np.float32)
+    obs, rew, term, trunc, info = env.step(a)
+    assert bool(jnp.isfinite(jnp.asarray(obs)).all())
