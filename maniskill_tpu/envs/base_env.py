@@ -132,7 +132,8 @@ class BaseEnv:
 
     SUPPORTED_ROBOTS = ["panda"]
     SUPPORTED_OBS_MODES = (
-        "state", "state_dict", "none", "depth", "pointcloud", "sensor_data"
+        "state", "state_dict", "none", "depth", "pointcloud", "sensor_data",
+        "rgb", "rgbd",
     )
     SUPPORTED_REWARD_MODES = ("normalized_dense", "dense", "sparse", "none")
     DEFAULT_ROBOT = "panda"
@@ -190,7 +191,8 @@ class BaseEnv:
 
         self._force_query = make_force_query(self.model)
         self._sensors = {}
-        if self.obs_mode in ("depth", "pointcloud", "sensor_data"):
+        if self.obs_mode in ("depth", "pointcloud", "sensor_data", "rgb",
+                             "rgbd"):
             from ..sensors.camera import Camera
 
             cfgs = list(self._default_sensor_configs())
@@ -492,12 +494,23 @@ class BaseEnv:
         obs = dict(agent=agent_obs, extra=extra)
         if self.obs_mode == "state_dict":
             return obs
-        if self.obs_mode in ("depth", "pointcloud", "sensor_data"):
+        if self.obs_mode in ("depth", "pointcloud", "sensor_data", "rgb",
+                             "rgbd"):
             sensor_data = {
                 uid: cam.render(state.sim, ctx.body_pos, ctx.body_quat)
                 for uid, cam in self._sensors.items()
             }
-            if self.obs_mode == "depth":
+            if self.obs_mode == "rgb":
+                obs["sensor_data"] = {
+                    uid: dict(rgb=d["rgb"]) for uid, d in sensor_data.items()
+                }
+            elif self.obs_mode == "rgbd":
+                obs["sensor_data"] = {
+                    uid: dict(rgb=d["rgb"], depth=d["depth"],
+                              segmentation=d["segmentation"])
+                    for uid, d in sensor_data.items()
+                }
+            elif self.obs_mode == "depth":
                 obs["sensor_data"] = {
                     uid: dict(depth=d["depth"], segmentation=d["segmentation"])
                     for uid, d in sensor_data.items()

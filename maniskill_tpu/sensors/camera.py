@@ -122,6 +122,16 @@ class Camera:
         pose = np.asarray(cfg.pose, np.float32)
         self._cam_p = pose[:3]
         self._cam_q = pose[3:7]
+        # deterministic golden-ratio hue palette per geom (index 0 = bg)
+        G = len(model.geoms)
+        hues = (0.12 + 0.61803398875 * np.arange(G + 1)) % 1.0
+        import colorsys
+
+        self._palette = np.array(
+            [[0, 0, 0]] + [colorsys.hsv_to_rgb(h, 0.55, 0.95)
+                           for h in hues[1:]],
+            np.float32,
+        )
 
     def render(self, state, body_pos, body_quat):
         """Single-env render. Returns dict with depth (H, W) float32 meters,
@@ -145,6 +155,7 @@ class Camera:
 
         gpos, gquat = all_geom_poses(model, state, body_pos, body_quat)
         ts = []
+        normals = []
         for gi, g in enumerate(model.geoms):
             gq = gquat[gi]
             gp = gpos[gi]
@@ -154,20 +165,45 @@ class Camera:
             size = state.geom_size[gi]
             if g.gtype == GeomType.PLANE:
                 t = _ray_plane(o, d)
+                n_loc = jnp.broadcast_to(jnp.array([0.0, 0, 1.0]), (N, 3))
             elif g.gtype == GeomType.SPHERE:
                 t = _ray_sphere(o, d, size[0])
+                hit = o + t[:, None] * d
+                n_loc = hit / jnp.maximum(size[0], 1e-9)
             elif g.gtype == GeomType.BOX:
                 t = _ray_box(o, d, size)
+                hit = o + t[:, None] * d
+                rel = jnp.abs(hit) / jnp.maximum(size[None, :], 1e-9)
+                mx = jnp.max(rel, axis=-1, keepdims=True)
+                oh = (rel >= mx).astype(hit.dtype)
+                oh = oh / jnp.sum(oh, axis=-1, keepdims=True)
+                n_loc = oh * jnp.sign(hit)
             elif g.gtype in (GeomType.CAPSULE, GeomType.CYLINDER):
                 t = _ray_capsule(o, d, size[0], size[1])
+                hit = o + t[:, None] * d
+                zc = jnp.clip(hit[:, 2], -size[1], size[1])
+                axis_pt = jnp.stack(
+                    [jnp.zeros_like(zc), jnp.zeros_like(zc), zc], axis=-1
+                )
+                dvec = hit - axis_pt
+                n_loc = dvec / jnp.sqrt(
+                    jnp.sum(dvec * dvec, axis=-1, keepdims=True) + 1e-18
+                )
             else:
                 t = jnp.full(N, jnp.inf)
+                n_loc = jnp.zeros((N, 3))
+            nan_safe = jnp.where(jnp.isfinite(t)[:, None], n_loc, 0.0)
             ts.append(t)
+            normals.append(quat_apply(gq[None], nan_safe))
         T = jnp.stack(ts, axis=0)  # (G, N)
         t_hit = jnp.min(T, axis=0)
-        seg = jnp.where(
-            jnp.isfinite(t_hit), jnp.argmin(T, axis=0) + 1, 0
-        ).astype(jnp.int16)
+        win = jnp.argmin(T, axis=0)
+        seg = jnp.where(jnp.isfinite(t_hit), win + 1, 0).astype(jnp.int16)
+        # winner-selected world normal (arithmetic one-hot, no gathers)
+        onehot = (jnp.arange(T.shape[0])[:, None] == win[None, :]).astype(
+            jnp.float32
+        )
+        n_world = jnp.einsum("gn,gnc->nc", onehot, jnp.stack(normals))
         cfg = self.cfg
         # clip to the near/far frustum like the renderer would
         t_hit = jnp.where(
@@ -178,10 +214,24 @@ class Camera:
         fwd = quat_apply(cam_q, jnp.array([1.0, 0.0, 0.0]))
         depth = t_hit * (dirs_w @ fwd)
         H, W = cfg.height, cfg.width
+        # flat-shaded Lambert RGB over a per-geom palette (no textures /
+        # materials — the geometry channel of the reference's "minimal"
+        # shader pack; rgb/rgbd obs modes). Unused outputs are DCE'd.
+        light = jnp.array([-0.45, -0.3, -0.84])
+        base = jnp.asarray(self._palette)  # (G+1, 3) incl. background
+        ndl = jnp.maximum(-jnp.sum(n_world * light[None], axis=-1), 0.0)
+        shade = 0.45 + 0.55 * ndl
+        col = base[seg.astype(jnp.int32)] * shade[:, None]
+        rgb = jnp.where(
+            jnp.isfinite(t_hit)[:, None], col, jnp.zeros(3)
+        )
+        rgb_u8 = jnp.clip(rgb * 255.0, 0, 255).astype(jnp.uint8)
         return dict(
             depth=depth.reshape(H, W),
             segmentation=seg.reshape(H, W),
             position=pts.reshape(H, W, 3),
+            rgb=rgb_u8.reshape(H, W, 3),
+            normal=n_world.reshape(H, W, 3),
         )
 
     def get_params(self):

@@ -171,11 +171,10 @@ class FlattenObservationWrapper:
 
 
 class FlattenRGBDObservationWrapper:
-    """Splits a visual dict obs into ``{state, depth, segmentation}`` with
-    the per-camera images stacked along the channel axis (reference
-    ``FlattenRGBDObservationWrapper``, utils/wrappers/flatten.py:14 — ours
-    carries depth/segmentation; the analytic TPU camera renders no RGB).
-    Requires ``obs_mode`` in ("depth", "sensor_data")."""
+    """Splits a visual dict obs into ``{state, rgb?, depth, segmentation}``
+    with the per-camera images stacked along the channel axis (reference
+    ``FlattenRGBDObservationWrapper``, utils/wrappers/flatten.py:14).
+    Requires ``obs_mode`` in ("rgbd", "depth", "sensor_data")."""
 
     def __init__(self, env, include_state: bool = True):
         self.env = env
@@ -198,10 +197,16 @@ class FlattenRGBDObservationWrapper:
         out = {}
         if self.include_state:
             out["state"] = flatten_state_dict(obs)
-        depth = [d["depth"] for d in sensor.values()]
-        seg = [d["segmentation"] for d in sensor.values()]
-        out["depth"] = jnp.stack(depth, axis=-1)
-        out["segmentation"] = jnp.stack(seg, axis=-1)
+        first = next(iter(sensor.values()))
+        if "rgb" in first:
+            out["rgb"] = jnp.concatenate(
+                [d["rgb"] for d in sensor.values()], axis=-1)
+        if "depth" in first:
+            out["depth"] = jnp.stack(
+                [d["depth"] for d in sensor.values()], axis=-1)
+        if "segmentation" in first:
+            out["segmentation"] = jnp.stack(
+                [d["segmentation"] for d in sensor.values()], axis=-1)
         return out
 
     def reset(self, seed=None, options=None):

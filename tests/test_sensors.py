@@ -61,3 +61,26 @@ def test_depth_matches_known_geometry():
     center = np.asarray(out["depth"])[31:33, 31:33].mean()
     expected = 0.5 - 0.02  # eye 0.5 above the cube center; top face is half_size above it
     assert abs(center - expected) < 0.01, (center, expected)
+
+
+def test_rgb_and_rgbd_obs_modes():
+    """Flat-shaded Lambert RGB channel (rgb/rgbd obs modes — the geometry
+    channels of the reference's minimal shader pack)."""
+    env = mst.make("PushCube-v1", num_envs=2, obs_mode="rgbd",
+                   robot_uids="panda")
+    obs, _ = env.reset(seed=0)
+    d = obs["sensor_data"]["base_camera"]
+    rgb = np.asarray(d["rgb"])
+    assert rgb.shape == (2, 128, 128, 3) and rgb.dtype == np.uint8
+    # full coverage (table/ground fill the frame) and multiple materials
+    assert (rgb.sum(-1) > 0).mean() > 0.95
+    assert len(np.unique(rgb.reshape(-1, 3), axis=0)) >= 4
+    # rgbd also carries depth + seg
+    assert "depth" in d and "segmentation" in d
+    # wrapper stacks rgb across cameras
+    from maniskill_tpu.vector.wrappers import FlattenRGBDObservationWrapper
+
+    w = FlattenRGBDObservationWrapper(
+        mst.make("PushCube-v1", num_envs=2, obs_mode="rgbd"))
+    obs2, _ = w.reset(seed=0)
+    assert obs2["rgb"].shape[-1] == 3 * len(w.env._sensors)
