@@ -248,12 +248,11 @@ class BaseEnv:
                             fov=1.2)
 
     def render(self):
-        """uint8 (H', W', 3) image: per-env depth renders from the human
-        render camera, tiled into one grid (reference render_mode
-        "rgb_array", sapien_env.py:1290 — the analytic TPU camera renders
-        depth/segmentation; depth is shown)."""
+        """uint8 (H', W', 3) image: per-env flat-shaded Lambert RGB from
+        the human render camera, tiled into one grid (reference render_mode
+        "rgb_array", sapien_env.py:1290)."""
         assert self._state is not None, "call reset() before render()"
-        from ..utils.visualization import depth_to_image, tile_images
+        from ..utils.visualization import tile_images
 
         if not hasattr(self, "_render_fn"):
             from ..sensors.camera import Camera
@@ -263,24 +262,13 @@ class BaseEnv:
 
             def one(state):
                 ctx = TaskContext(self, state)
-                return cam.render(state.sim, ctx.body_pos, ctx.body_quat)
+                return cam.render(state.sim, ctx.body_pos,
+                                  ctx.body_quat)["rgb"]
 
             self._render_fn = jax.jit(jax.vmap(one))
             self._render_far = cam.cfg.far
-        out = self._render_fn(self._state)
-        depth = np.asarray(out["depth"])  # (B, H, W)
-        seg = np.asarray(out["segmentation"])  # (B, H, W)
-        from ..utils.visualization import segmentation_to_image
-
-        frames = []
-        for i in range(depth.shape[0]):
-            shade = depth_to_image(depth[i], max_depth=2.0).astype(np.float32)
-            color = segmentation_to_image(seg[i]).astype(np.float32)
-            # segmentation hue shaded by depth for legibility
-            img = np.clip(0.35 * shade + 0.65 * color * (shade / 255.0 * 0.7
-                                                         + 0.3), 0, 255)
-            frames.append(img.astype(np.uint8))
-        return tile_images(frames)
+        rgb = np.asarray(self._render_fn(self._state))  # (B, H, W, 3)
+        return tile_images(list(rgb))
 
     def _initialize_episode(self, state: EnvState, key) -> EnvState:
         """Pure per-env episode randomization; return updated state."""
