@@ -137,3 +137,21 @@ def test_diffusion_policy_pipeline(tmp_path):
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "eval success_once" in out.stdout
+
+
+def test_nature_cnn_encoder():
+    """Visual encoder over FlattenRGBD output (reference NatureCNN torso)."""
+    import jax
+    import maniskill_tpu as mst
+    from maniskill_tpu.vector import NatureCNN
+    from maniskill_tpu.vector.wrappers import FlattenRGBDObservationWrapper
+
+    env = FlattenRGBDObservationWrapper(
+        mst.make("PushCube-v1", num_envs=2, obs_mode="rgbd",
+                 robot_uids="panda"))
+    obs, _ = env.reset(seed=0)
+    enc = NatureCNN(feature_dim=64)
+    params = enc.init(jax.random.key(0), obs)
+    feat = enc.apply(params, obs)
+    assert feat.shape[0] == 2 and feat.shape[1] >= 64
+    assert np.isfinite(np.asarray(feat)).all()
