@@ -69,3 +69,33 @@ def test_cum_angle_tracks_rotation():
             np.zeros((1, env.action_dim), np.float32))
     # ~2 rad/s * 0.05 s * 4 steps = 0.4 rad accumulated
     assert float(np.asarray(info["cum_angle"])[0]) > 0.25
+
+
+def test_floating_panda_gripper():
+    """Floating Panda gripper: 6-dof position-controlled root chain +
+    fingers, hand frames intact (reference robots/floating_panda_gripper)."""
+    import jax
+    import jax.numpy as jnp
+    from maniskill_tpu.physics.model import (
+        SceneSpecBuilder, SimParams, plane_geom)
+    from maniskill_tpu.physics.engine import make_step_fn, robot_fk, \
+        robot_frame_pose
+
+    a = REGISTERED_AGENTS["floating_panda_gripper"](control_mode=None)
+    assert a.nq == 8 and a.controller.action_dim == 7
+    b = SceneSpecBuilder(SimParams(dt=0.01))
+    a.install(b, np.array([0, 0, 0, 1, 0, 0, 0], np.float32))
+    b.add_static_body("ground", np.array([0, 0, 0, 1, 0, 0, 0], np.float32),
+                      [plane_geom()])
+    model = b.build()
+    step = make_step_fn(model)
+    st = model.initial_state()
+    cmd = a.controller.reset(st.qpos)
+    sf = jax.jit(lambda s, c: step(s, c, 5))
+    for _ in range(20):
+        st = sf(st, cmd)
+    # the floating root PD holds the keyframe hover pose against gravity
+    assert abs(float(st.qpos[2]) - 0.3) < 1e-2
+    bp, bq, ax = robot_fk(model, st.qpos)
+    p, q = robot_frame_pose(model, bp, bq, "panda_hand_tcp")
+    assert 0.05 < float(p[2]) < 0.15  # fingers-down tcp under the hand
