@@ -155,3 +155,25 @@ def test_nature_cnn_encoder():
     feat = enc.apply(params, obs)
     assert feat.shape[0] == 2 and feat.shape[1] >= 64
     assert np.isfinite(np.asarray(feat)).all()
+
+
+def test_teleop_scripted(tmp_path):
+    """Scripted teleop drives the env and records a trajectory (reference
+    examples/teleoperation capability, non-interactive mode)."""
+    out = subprocess.run(
+        [sys.executable, "-m", "maniskill_tpu.examples.teleop",
+         "-e", "PushCube-v1", "--script", "wwaae",
+         "--record-dir", str(tmp_path)],
+        cwd=REPO, capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-1500:]
+    assert (tmp_path / "trajectory.h5").exists()
+
+
+def test_asset_verify():
+    out = subprocess.run(
+        [sys.executable, "-m", "maniskill_tpu.utils.download_asset",
+         "--verify"],
+        cwd=REPO, capture_output=True, text=True, timeout=120,
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
