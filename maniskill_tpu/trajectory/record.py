@@ -94,7 +94,8 @@ class RecordEpisode:
             self._meta["source_desc"] = source_desc
         n = env.num_envs
         self._buffers = [
-            dict(actions=[], terminated=[], truncated=[], success=[], fail=[],
+            dict(actions=[], terminated=[], truncated=[], success=[],
+                 fail=[], rewards=[],
                  states=[], obs=[])
             for _ in range(n)
         ]
@@ -142,6 +143,7 @@ class RecordEpisode:
                 b["success"].append(bool(np.asarray(info["success"])[i]))
             if "fail" in info:
                 b["fail"].append(bool(np.asarray(info["fail"])[i]))
+            b["rewards"].append(float(np.asarray(rew)[i]))
             b["states"].append(_index_tree(state, i))
             if self.save_obs:
                 b["obs"].append(np.asarray(obs)[i])
@@ -162,6 +164,9 @@ class RecordEpisode:
             g.create_dataset("success", data=np.asarray(b["success"], bool))
         if b["fail"]:
             g.create_dataset("fail", data=np.asarray(b["fail"], bool))
+        if b["rewards"]:
+            g.create_dataset(
+                "rewards", data=np.asarray(b["rewards"], np.float32))
         _write_dict(g, "env_states", _stack_dicts(b["states"]))
         if self.save_obs and b["obs"]:
             g.create_dataset("obs", data=np.stack(b["obs"]).astype(np.float32))

@@ -177,3 +177,24 @@ def test_asset_verify():
         cwd=REPO, capture_output=True, text=True, timeout=120,
     )
     assert out.returncode == 0, out.stdout + out.stderr
+
+
+def test_rlpd_pipeline(tmp_path):
+    """RLPD: symmetric online/demo sampling SAC runs end-to-end (reference
+    examples/baselines/rlpd capability; demos now carry rewards)."""
+    env = subprocess.run(
+        [sys.executable, "-m", "maniskill_tpu.examples.motionplanning.run",
+         "-e", "PushCube-v1", "-n", "3", "--traj-dir", str(tmp_path)],
+        cwd=REPO, capture_output=True, text=True, timeout=600,
+    )
+    assert env.returncode == 0, env.stderr[-1500:]
+    out = subprocess.run(
+        [sys.executable, "examples/baselines/rlpd/rlpd_jax.py",
+         "--env-id", "PushCube-v1",
+         "--demo-dataset", str(tmp_path / "trajectory.h5"),
+         "--num-envs", "4", "--total-timesteps", "256",
+         "--batch-size", "32", "--updates-per-iter", "2"],
+        cwd=REPO, capture_output=True, text=True, timeout=900,
+    )
+    assert out.returncode == 0, out.stderr[-1500:]
+    assert "done" in out.stdout
