@@ -91,7 +91,8 @@ def main():
     obs_np, chunks_np = load_chunks(args.dataset, args.chunk)
     # standardize obs (state features mix meters/radians/velocities)
     obs_mu = obs_np.mean(0)
-    obs_sd = obs_np.std(0) + 1e-6
+    obs_sd = np.maximum(obs_np.std(0), 1e-2)  # floor: dims constant in
+    # the demos (noise-free recording) must not explode on eval obs
     obs_np = (obs_np - obs_mu) / obs_sd
     print(f"dataset: {len(obs_np)} chunked samples")
     act_dim = chunks_np.shape[-1]

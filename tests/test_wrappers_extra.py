@@ -198,3 +198,23 @@ def test_rlpd_pipeline(tmp_path):
     )
     assert out.returncode == 0, out.stderr[-1500:]
     assert "done" in out.stdout
+
+
+def test_act_pipeline(tmp_path):
+    """ACT baseline: CVAE action chunking + temporal ensembling (reference
+    examples/baselines/act capability)."""
+    env = subprocess.run(
+        [sys.executable, "-m", "maniskill_tpu.examples.motionplanning.run",
+         "-e", "PushCube-v1", "-n", "4", "--traj-dir", str(tmp_path)],
+        cwd=REPO, capture_output=True, text=True, timeout=600,
+    )
+    assert env.returncode == 0, env.stderr[-1500:]
+    out = subprocess.run(
+        [sys.executable, "examples/baselines/act/act_jax.py",
+         "--env-id", "PushCube-v1",
+         "--dataset", str(tmp_path / "trajectory.h5"),
+         "--epochs", "20", "--eval-envs", "4", "--eval-steps", "10"],
+        cwd=REPO, capture_output=True, text=True, timeout=900,
+    )
+    assert out.returncode == 0, out.stderr[-1500:]
+    assert "eval success_once" in out.stdout
