@@ -5,6 +5,7 @@ from .base import (
     PDEEPosControllerConfig,
     PDEEPoseControllerConfig,
     PDJointPosControllerConfig,
+    PDJointPosVelControllerConfig,
     PDJointVelControllerConfig,
     clip_and_scale_action,
 )
@@ -14,6 +15,7 @@ from .ee import EEController
 __all__ = [
     "ControllerConfig", "ControllerState", "JointController",
     "PDEEPosControllerConfig", "PDEEPoseControllerConfig",
-    "PDJointPosControllerConfig", "PDJointVelControllerConfig",
+    "PDJointPosControllerConfig", "PDJointPosVelControllerConfig",
+    "PDJointVelControllerConfig",
     "clip_and_scale_action", "CompositeController", "EEController",
 ]

@@ -68,6 +68,18 @@ class PDJointPosControllerConfig(ControllerConfig):
 
 
 @dataclass
+class PDJointPosVelControllerConfig(PDJointPosControllerConfig):
+    """Mirrors reference PDJointPosVelControllerConfig
+    (pd_joint_pos_vel.py:66-69): action = [qpos targets (nj), qvel targets
+    (nj)]; the position half keeps PDJointPos delta/target semantics, the
+    velocity half sets drive velocity targets scaled to
+    [vel_lower, vel_upper]."""
+
+    vel_lower: Union[float, Sequence[float]] = -1.0
+    vel_upper: Union[float, Sequence[float]] = 1.0
+
+
+@dataclass
 class PDJointVelControllerConfig(ControllerConfig):
     lower: Union[None, float, Sequence[float]] = -1.0
     upper: Union[None, float, Sequence[float]] = 1.0
@@ -188,6 +200,17 @@ class JointController:
             self.use_delta = config.use_delta
             self.use_target = config.use_target
             self.mimic = config.mimic
+            if isinstance(config, PDJointPosVelControllerConfig):
+                # action = [pos targets, vel targets] (reference
+                # pd_joint_pos_vel.py:38-62)
+                assert not self.mimic, "pos_vel + mimic unsupported"
+                self._mode = "pos_vel"
+                vlo = np.broadcast_to(
+                    np.asarray(config.vel_lower, np.float32), (self.nj,))
+                vhi = np.broadcast_to(
+                    np.asarray(config.vel_upper, np.float32), (self.nj,))
+                lo = np.concatenate([lo, vlo])
+                hi = np.concatenate([hi, vhi])
         elif isinstance(config, PDJointVelControllerConfig):
             lo = np.broadcast_to(np.asarray(config.lower, np.float32), (self.nj,)).copy()
             hi = np.broadcast_to(np.asarray(config.upper, np.float32), (self.nj,)).copy()
@@ -202,6 +225,8 @@ class JointController:
             # PDJointPosMimicController, pd_joint_pos.py:126-133)
             assert np.allclose(lo, lo[0]) and np.allclose(hi, hi[0])
             self.action_dim = 1
+        elif self._mode == "pos_vel":
+            self.action_dim = 2 * self.nj
         else:
             self.action_dim = self.nj
         self.raw_low = lo.astype(np.float32)
@@ -227,8 +252,9 @@ class JointController:
 
     def _scale(self, action):
         if self.normalize_action:
-            lo = jnp.asarray(self.raw_low if self.action_dim == self.nj else self.raw_low[:1])
-            hi = jnp.asarray(self.raw_high if self.action_dim == self.nj else self.raw_high[:1])
+            full = len(self.raw_low) == self.action_dim
+            lo = jnp.asarray(self.raw_low if full else self.raw_low[:1])
+            hi = jnp.asarray(self.raw_high if full else self.raw_high[:1])
             return clip_and_scale_action(action, lo, hi)
         return action
 
@@ -256,6 +282,15 @@ class JointController:
         q = qpos[self.joint_indices]
         if self._mode == "vel":
             return cstate.replace(target_qvel=a, target_qpos=q)
+        if self._mode == "pos_vel":
+            a, tv = a[: self.nj], a[self.nj:]
+            if self.use_delta:
+                base = cstate.target_qpos if self.use_target else q
+                tgt = base + a
+            else:
+                tgt = a
+            tgt = jnp.clip(tgt, self.qlim[:, 0], self.qlim[:, 1])
+            return cstate.replace(target_qpos=tgt, target_qvel=tv)
         if self.use_delta:
             base = cstate.target_qpos if self.use_target else q
             tgt = base + a

@@ -18,6 +18,7 @@ from ..controllers.base import (
     PDEEPosControllerConfig,
     PDEEPoseControllerConfig,
     PDJointPosControllerConfig,
+    PDJointPosVelControllerConfig,
     PDJointVelControllerConfig,
 )
 
@@ -101,6 +102,12 @@ class Panda(BaseAgent):
             joint_names=ARM_JOINTS, lower=-1.0, upper=1.0,
             damping=self.arm_damping, force_limit=self.arm_force_limit,
         )
+        arm_pd_joint_pos_vel = PDJointPosVelControllerConfig(
+            lower=None, upper=None, normalize_action=False, **arm_common
+        )
+        arm_pd_joint_delta_pos_vel = PDJointPosVelControllerConfig(
+            lower=-0.1, upper=0.1, use_delta=True, **arm_common
+        )
         gripper_pd_joint_pos = PDJointPosControllerConfig(
             joint_names=GRIPPER_JOINTS,
             lower=-0.01,  # reference trick: closing force on thin objects
@@ -125,6 +132,12 @@ class Panda(BaseAgent):
                 arm=arm_pd_joint_target_delta_pos, gripper=gripper_pd_joint_pos
             ),
             pd_joint_vel=dict(arm=arm_pd_joint_vel, gripper=gripper_pd_joint_pos),
+            pd_joint_pos_vel=dict(
+                arm=arm_pd_joint_pos_vel, gripper=gripper_pd_joint_pos
+            ),
+            pd_joint_delta_pos_vel=dict(
+                arm=arm_pd_joint_delta_pos_vel, gripper=gripper_pd_joint_pos
+            ),
         )
 
 

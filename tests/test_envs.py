@@ -115,11 +115,34 @@ def test_reward_modes():
 
 def test_control_modes():
     for cm in ["pd_joint_delta_pos", "pd_joint_pos", "pd_ee_delta_pos",
-               "pd_ee_delta_pose", "pd_joint_vel"]:
+               "pd_ee_delta_pose", "pd_joint_vel", "pd_joint_pos_vel",
+               "pd_joint_delta_pos_vel"]:
         env = mst.make("PushCube-v1", num_envs=2, control_mode=cm)
         env.reset(seed=0)
         obs, rew, *_ = env.step(np.zeros((2, env.action_dim), np.float32))
         assert bool(jnp.isfinite(obs).all()), cm
+
+
+def test_pos_vel_controller_tracks_velocity_target():
+    """pd_joint_delta_pos_vel: zero position delta + a velocity target on
+    joint 0 makes the joint move in the commanded direction (the velocity
+    half reaches the drive), while zeroed velocity targets hold still."""
+    env = mst.make("PushCube-v1", num_envs=1,
+                   control_mode="pd_joint_delta_pos_vel")
+    env.reset(seed=0)
+    q0 = float(np.asarray(env._state.sim.qpos[0, 0]))
+    a = np.zeros((1, env.action_dim), np.float32)
+    a[0, 7] = 1.0  # qvel target for joint 0 (scaled to vel_upper = 1 rad/s)
+    for _ in range(5):
+        env.step(a)
+    q1 = float(np.asarray(env._state.sim.qpos[0, 0]))
+    assert q1 - q0 > 0.05, (q0, q1)  # moved with the velocity command
+    env.reset(seed=0)
+    a = np.zeros((1, env.action_dim), np.float32)
+    for _ in range(5):
+        env.step(a)
+    q2 = float(np.asarray(env._state.sim.qpos[0, 0]))
+    assert abs(q2 - q0) < 0.02, (q0, q2)  # zero targets hold position
 
 
 def test_truncation():
