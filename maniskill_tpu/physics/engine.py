@@ -599,6 +599,22 @@ def make_step_fn(model: SceneModel):
             ra, rb = _find(na), _find(nb2)
             if ra != rb:
                 _uf[ra] = rb
+    # actor-pair drives couple bodies exactly like contacts do: their
+    # implicit stiffness lands in the off-diagonal LHS blocks, which the
+    # per-group solves would otherwise drop
+    for _d in getattr(model, "drives", []):
+        _nodes = []
+        for _k, _b in ((_d.kind_a, _d.body_a), (_d.kind_b, _d.body_b)):
+            if _k == int(BodyKind.ROBOT_LINK):
+                _nodes.append(0 if nq > 0 else None)
+            elif _k == int(BodyKind.FREE):
+                _nodes.append(1 + _b)
+            else:
+                _nodes.append(None)
+        if _nodes[0] is not None and _nodes[1] is not None:
+            ra, rb = _find(_nodes[0]), _find(_nodes[1])
+            if ra != rb:
+                _uf[ra] = rb
     _by_root = {}
     if nq > 0:
         _by_root[_find(0)] = True  # marker; rebuilt below
@@ -861,6 +877,97 @@ def make_step_fn(model: SceneModel):
             Wm = jnp.concatenate([Ux, Uy, Uz, Vx, Vy, Vz], axis=1)
             lhs_full = lhs_full.at[:nq, :nq].add(Qm @ Wm.T)
 
+        # ---------------- actor-pair drives ----------------
+        # 6-DoF drives (PairDrive, model.py — reference structs/drive.py):
+        # explicit spring force on the RHS, stiffness+damping folded into the
+        # LHS through the same component-row machinery as contacts, so a
+        # stiff "glue" drive is unconditionally stable.
+        rhs_drv = None
+        if getattr(model, "drives", []):
+            Dn = len(model.drives)
+            smd_np = np.zeros((nq, Dn), np.float32)
+            sgnd_np = np.zeros((n_free, Dn), np.float32)
+            kp_arr = np.zeros(Dn, np.float32)
+            kd_arr = np.zeros(Dn, np.float32)
+            fl_arr = np.zeros(Dn, np.float32)
+            for di, d in enumerate(model.drives):
+                kp_arr[di], kd_arr[di], fl_arr[di] = (
+                    d.stiffness, d.damping, d.force_limit)
+                for (kk, bb, sg) in ((d.kind_a, d.body_a, 1.0),
+                                     (d.kind_b, d.body_b, -1.0)):
+                    if kk == int(BodyKind.ROBOT_LINK) and nq > 0:
+                        smd_np[:, di] += sg * model.ancestor_mask[bb, :]
+                    elif kk == int(BodyKind.FREE):
+                        sgnd_np[bb, di] += sg
+
+            def _side_pv(kk, bb, anchor):
+                a = jnp.asarray(anchor)
+                if kk == int(BodyKind.ROBOT_LINK):
+                    p = body_pos[bb] + quat_apply(body_quat[bb], a)
+                    v = v_body[bb, 3:] + jnp.cross(v_body[bb, :3], p - ref)
+                elif kk == int(BodyKind.FREE):
+                    bp = state.free_pose[bb]
+                    p = bp[:3] + quat_apply(bp[3:7], a)
+                    v = state.free_vel[bb, :3] + jnp.cross(
+                        state.free_vel[bb, 3:], p - bp[:3])
+                elif kk == int(BodyKind.STATIC):
+                    sp = model.static_pose[bb]
+                    p = jnp.asarray(sp[:3]) + quat_apply(
+                        jnp.asarray(sp[3:7]), a)
+                    v = jnp.zeros(3)
+                else:  # world anchor
+                    p = a
+                    v = jnp.zeros(3)
+                return p, v
+
+            pm_l, fd_l = [], []
+            for di, d in enumerate(model.drives):
+                pa_d, va_d = _side_pv(d.kind_a, d.body_a, d.anchor_a)
+                pb_d, vb_d = _side_pv(d.kind_b, d.body_b, d.anchor_b)
+                f = (kp_arr[di] * (pb_d - pa_d)
+                     + kd_arr[di] * (vb_d - va_d))
+                fd_l.append(jnp.clip(f, -fl_arr[di], fl_arr[di]))
+                pm_l.append(0.5 * (pa_d + pb_d))
+            pm = jnp.stack(pm_l)  # (Dn, 3)
+            fd = jnp.stack(fd_l)  # (Dn, 3) force on side A
+            drows_x, drows_y, drows_z = [], [], []
+            if nq > 0:
+                smd = jnp.asarray(smd_np)
+                rel_d = pm - ref
+                wx, wy, wz = cols[:, 0:1], cols[:, 1:2], cols[:, 2:3]
+                vx, vy, vz = cols[:, 3:4], cols[:, 4:5], cols[:, 5:6]
+                rx = rel_d[:, 0][None]
+                ry = rel_d[:, 1][None]
+                rz = rel_d[:, 2][None]
+                drows_x.append(smd * (vx + wy * rz - wz * ry))
+                drows_y.append(smd * (vy + wz * rx - wx * rz))
+                drows_z.append(smd * (vz + wx * ry - wy * rx))
+            if n_free > 0:
+                zero = jnp.zeros(Dn)
+                one = jnp.ones(Dn)
+                for j in range(n_free):
+                    s = jnp.asarray(sgnd_np[j])
+                    ax = pm[:, 0] - state.free_pose[j, 0]
+                    ay = pm[:, 1] - state.free_pose[j, 1]
+                    az = pm[:, 2] - state.free_pose[j, 2]
+                    drows_x.append(jnp.stack([zero, az * s, -ay * s]))
+                    drows_y.append(jnp.stack([-az * s, zero, ax * s]))
+                    drows_z.append(jnp.stack([ay * s, -ax * s, zero]))
+                    drows_x.append(jnp.stack([one * s, zero, zero]))
+                    drows_y.append(jnp.stack([zero, one * s, zero]))
+                    drows_z.append(jnp.stack([zero, zero, one * s]))
+            Dx = jnp.concatenate(drows_x, axis=0)  # (n_all, Dn)
+            Dy = jnp.concatenate(drows_y, axis=0)
+            Dz = jnp.concatenate(drows_z, axis=0)
+            rhs_drv = Dx @ fd[:, 0] + Dy @ fd[:, 1] + Dz @ fd[:, 2]
+            hd = jnp.asarray(h * (h * kp_arr + kd_arr))[None]  # (1, Dn)
+            lhs_full = (
+                lhs_full
+                + (Dx * hd) @ Dx.T
+                + (Dy * hd) @ Dy.T
+                + (Dz * hd) @ Dz.T
+            )
+
         diag_parts = []
         rhs_parts = []
         if nq > 0:
@@ -875,6 +982,8 @@ def make_step_fn(model: SceneModel):
                 sl = slice(nq + 6 * j, nq + 6 * j + 6)
                 lhs_full = lhs_full.at[sl, sl].add(M6[j])
         rhs_cat = jnp.concatenate(rhs_parts)
+        if rhs_drv is not None:
+            rhs_cat = rhs_cat + rhs_drv
         rhs_vel = gf_vel + rhs_cat
         rhs_pos = gf_pos + rhs_cat
         if len(group_cols) == 1 and len(group_cols[0]) == n_all:

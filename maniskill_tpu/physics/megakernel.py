@@ -137,6 +137,8 @@ def supports(model: SceneModel) -> bool:
     """Whether this model's scene class is covered by the mega-kernel."""
     if model.params.contact_mode != "velocity":
         return False
+    if getattr(model, "drives", []):
+        return False  # actor-pair drives: XLA path only (for now)
     for (fn, _npts, _ia, _ib, _mu) in model.pair_groups:
         if fn.__name__ not in _SUPPORTED_FNS:
             return False

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 from enum import IntEnum
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -144,6 +144,29 @@ class SimState:
     free_inertia: jnp.ndarray  # (n_free, 3, 3) about CoM, body frame
 
 
+class PairDrive(NamedTuple):
+    """Resolved 6-DoF actor-pair drive (translational springs; reference
+    analogue: PhysX D6 drive wrapped by ``mani_skill/utils/structs/drive.py``
+    + ``ManiSkillScene.create_drive``, scene.py:469 — used e.g. for the
+    robotiq closing-loop linkage, xarm6_robotiq.py:332-355).
+
+    A critically-stable spring-damper pulls the anchor point fixed in body A
+    toward the anchor point fixed in body B; the stiffness/damping are
+    folded implicitly into the monolithic velocity solve (engine.py) so
+    stiff drives hold at any dt. ``kind`` is a BodyKind for robot links /
+    free bodies / static bodies, or -1 for a world-frame anchor."""
+
+    kind_a: int
+    body_a: int
+    anchor_a: np.ndarray  # (3,) in A's body frame (world frame if kind=-1)
+    kind_b: int
+    body_b: int
+    anchor_b: np.ndarray
+    stiffness: float
+    damping: float
+    force_limit: float
+
+
 @struct.dataclass
 class DriveCmd:
     """PD drive command produced by the controller layer, consumed by the
@@ -181,7 +204,9 @@ class SceneModel:
         gravity_mask: Optional[np.ndarray] = None,
         tree_id: Optional[np.ndarray] = None,
         art_dof_index: Optional[Dict[str, np.ndarray]] = None,
+        drives: Optional[List["PairDrive"]] = None,
     ):
+        self.drives = list(drives) if drives else []
         self.robot = robot
         self.robot_base_pose = robot_base_pose.astype(np.float32)
         self.free_names = free_names
@@ -361,6 +386,8 @@ class SceneSpecBuilder:
         # articulated objects: (name, spec, world_pose, base_geoms,
         # link_geoms, init_qpos, gravity)
         self._articulations: list = []
+        # actor-pair drives (resolved at build): see add_drive
+        self._drives: list = []
 
     # -- robot --------------------------------------------------------------
     def add_robot(
@@ -509,6 +536,29 @@ class SceneSpecBuilder:
             )
             self._collision_enabled.append(g.get("collision", True))
         return idx
+
+    def add_drive(
+        self,
+        side_a,
+        anchor_a,
+        side_b,
+        anchor_b,
+        stiffness: float = 1e4,
+        damping: float = 2e2,
+        force_limit: float = 1e10,
+    ):
+        """Create a 6-DoF actor-pair drive (translational spring-damper)
+        pulling the anchor fixed in side A toward the anchor fixed in side B
+        — the TPU-native ``ManiSkillScene.create_drive`` (reference
+        scene.py:469, structs/drive.py).
+
+        ``side``: ``("robot", link_name)``, ``("free", body_name)``,
+        ``("static", body_name)`` or ``"world"``. Anchors are body-frame
+        points (world-frame for ``"world"``)."""
+        self._drives.append((side_a, np.asarray(anchor_a, np.float64),
+                             side_b, np.asarray(anchor_b, np.float64),
+                             float(stiffness), float(damping),
+                             float(force_limit)))
 
     def exclude_pair(self, name_a: str, name_b: str):
         self._excluded_pairs.add(frozenset((name_a, name_b)))
@@ -667,6 +717,36 @@ class SceneSpecBuilder:
                 else:
                     pairs.append((j, i))
 
+        # ---- resolve actor-pair drives ------------------------------------
+        free_index = {nm: i for i, nm in enumerate(self.free_names)}
+        static_index = {nm: i for i, nm in enumerate(self.static_names)}
+
+        def _resolve_side(side, anchor):
+            if side == "world" or side is None:
+                return -1, -1, anchor.astype(np.float32)
+            tag, name = side
+            if tag == "robot":
+                assert robot is not None, "drive on robot link without robot"
+                bi, fp, fq = robot.frame_of(name)
+                from ..kinematics.urdf import _pose_mul
+
+                p, _q = _pose_mul(fp, fq, anchor, np.array([1.0, 0, 0, 0]))
+                return int(BodyKind.ROBOT_LINK), int(bi), p.astype(np.float32)
+            if tag == "free":
+                return (int(BodyKind.FREE), free_index[name],
+                        anchor.astype(np.float32))
+            if tag == "static":
+                return (int(BodyKind.STATIC), static_index[name],
+                        anchor.astype(np.float32))
+            raise ValueError(f"unknown drive side {side!r}")
+
+        drives = []
+        for (sa, aa, sb, ab, kp_d, kd_d, fl_d) in self._drives:
+            ka, ba, pa = _resolve_side(sa, aa)
+            kb, bb, pb = _resolve_side(sb, ab)
+            drives.append(PairDrive(ka, ba, pa, kb, bb, pb,
+                                    kp_d, kd_d, fl_d))
+
         return SceneModel(
             robot=robot,
             robot_base_pose=robot_base_pose,
@@ -695,6 +775,7 @@ class SceneSpecBuilder:
             gravity_mask=gravity_mask,
             tree_id=tree_id,
             art_dof_index=art_dof_index,
+            drives=drives,
         )
 
 
