@@ -3,5 +3,5 @@ from .cartpole import CartPoleRobot  # noqa: F401
 from .fetch import Fetch  # noqa: F401
 from .trifinger import TriFingerPro  # noqa: F401
 from .panda_stick import PandaStick  # noqa: F401
-from .xarm import XArm7, AllegroHandRight, DClaw  # noqa: F401
+from .xarm import XArm7, XArm7Ability, AllegroHandRight, DClaw  # noqa: F401
 from .floating_gripper import FloatingPandaGripper  # noqa: F401

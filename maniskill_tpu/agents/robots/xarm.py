@@ -161,3 +161,75 @@ class DClaw(BaseAgent):
             pd_joint_pos=dict(claw=PDJointPosControllerConfig(
                 lower=None, upper=None, normalize_action=False, **common)),
         )
+
+
+XARM7_ABILITY_URDF = str(
+    ASSET_DIR / "robots/xarm7/xarm7_ability_right_hand.urdf")
+
+ABILITY_HAND_JOINTS = [
+    "thumb_q1", "thumb_q2", "index_q1", "index_q2", "middle_q1",
+    "middle_q2", "ring_q1", "ring_q2", "pinky_q1", "pinky_q2",
+]
+
+
+@register_agent
+class XArm7Ability(BaseAgent):
+    """xArm7 + PSYONIC Ability right hand (reference
+    ``agents/robots/xarm/xarm7_ability.py``: 7 arm dof + 10 hand dof, arm
+    kp=1e3 kd=1e2 Flim=500, hand kp=1e3 kd=1e2 Flim=50, rest keyframe
+    :44-69). The URDF's finger mimic linkages (q2 = 1.0585*q1 + 0.723)
+    are left as independently driven joints, matching the reference's
+    controller which lists all ten hand joints. Mesh-only collisions ->
+    auto-capsule synthesis with finger-scale radii."""
+
+    uid = "xarm7_ability"
+    urdf_path = XARM7_ABILITY_URDF
+    ee_link_name = "base"  # the hand base (reference :101)
+
+    arm_stiffness = 1e3
+    arm_damping = 1e2
+    arm_force_limit = 500
+    hand_stiffness = 1e3
+    hand_damping = 1e2
+    hand_force_limit = 50
+
+    keyframes = dict(
+        rest=Keyframe(qpos=np.array(
+            [0.0, -0.4, 0.0, 0.5, 0.0, 0.9, -3.0] + [0.0] * 10, np.float32))
+    )
+
+    def collision_geoms(self):
+        radius_map = {"link6": 0.04, "link7": 0.035}
+        for l in ("thumb", "index", "middle", "ring", "pinky"):
+            radius_map[f"{l}_L1"] = 0.011
+            radius_map[f"{l}_L2"] = 0.009
+        return auto_capsule_collisions(
+            self.robot_spec, default_radius=0.05, tip_length=0.03,
+            radius_map=radius_map, friction=1.5,
+        )
+
+    def _controller_configs(self):
+        arm_common = dict(
+            joint_names=ARM_JOINTS, stiffness=self.arm_stiffness,
+            damping=self.arm_damping, force_limit=self.arm_force_limit,
+        )
+        hand_common = dict(
+            joint_names=ABILITY_HAND_JOINTS, stiffness=self.hand_stiffness,
+            damping=self.hand_damping, force_limit=self.hand_force_limit,
+        )
+        return dict(
+            pd_joint_delta_pos=dict(
+                arm=PDJointPosControllerConfig(
+                    lower=-0.1, upper=0.1, use_delta=True, **arm_common),
+                hand=PDJointPosControllerConfig(
+                    lower=-0.1, upper=0.1, use_delta=True, **hand_common),
+            ),
+            pd_joint_pos=dict(
+                arm=PDJointPosControllerConfig(
+                    lower=None, upper=None, normalize_action=False,
+                    **arm_common),
+                hand=PDJointPosControllerConfig(
+                    lower=None, upper=None, normalize_action=False,
+                    **hand_common),
+            ),
+        )

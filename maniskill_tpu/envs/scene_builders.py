@@ -71,6 +71,11 @@ class TableSceneBuilder:
             qpos=np.array([0.0, 0.22, 0.0, 0.52, 0.0, 0.78, 0.0],
                           np.float32),
         ),
+        "xarm7_ability": dict(
+            pose=np.array([-0.52, 0, 0, 1, 0, 0, 0], np.float32),
+            qpos=np.array([0.0, -0.4, 0.0, 0.5, 0.0, 0.9, -3.0]
+                          + [0.0] * 10, np.float32),
+        ),
     }
 
     def __init__(self, env):
@@ -92,7 +97,14 @@ class TableSceneBuilder:
         builder.exclude_groups(["robot:*"], ["ground"])
 
     def robot_pose_and_qpos(self, robot_uid: str):
-        cfg = self.ROBOT_INIT.get(robot_uid, self.ROBOT_INIT["panda"])
+        cfg = self.ROBOT_INIT.get(robot_uid)
+        if cfg is None:
+            # unknown robot: panda's table-edge pose, the agent's own rest
+            # keyframe for qpos (a panda-sized qpos would silently corrupt
+            # a different-dof robot)
+            kf = getattr(self.env.agent, "keyframes", {}).get("rest")
+            return (self.ROBOT_INIT["panda"]["pose"],
+                    None if kf is None else np.asarray(kf.qpos, np.float32))
         qpos = cfg["qpos"]
         if qpos is None and robot_uid == "fetch":
             # reference table scene fetch init (scene_builder.py:81-101)

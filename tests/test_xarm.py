@@ -99,3 +99,18 @@ def test_floating_panda_gripper():
     bp, bq, ax = robot_fk(model, st.qpos)
     p, q = robot_frame_pose(model, bp, bq, "panda_hand_tcp")
     assert 0.05 < float(p[2]) < 0.15  # fingers-down tcp under the hand
+
+
+def test_xarm7_ability_pushcube_runs():
+    """xArm7 + Ability right hand (17 dof) drives PushCube without NaNs and
+    with the full arm+hand action space."""
+    env = mst.make("PushCube-v1", num_envs=2, robot_uids="xarm7_ability")
+    env.reset(seed=0)
+    assert env.model.nq == 17
+    assert env.action_dim == 17
+    rng = np.random.default_rng(0)
+    for _ in range(4):
+        a = rng.uniform(-1, 1, (2, env.action_dim)).astype(np.float32)
+        obs, rew, term, trunc, info = env.step(a)
+    assert np.isfinite(np.asarray(rew)).all()
+    assert np.isfinite(np.asarray(env._state.sim.qpos)).all()
