@@ -67,6 +67,8 @@ def auto_capsule_collisions(
         if par >= 0:
             children[par].append(b)
     for b in range(spec.nb):
+        if spec.mass[b] <= 1e-5:
+            continue  # massless synthetic frame (float_base chain links)
         name = spec.link_names[b]
         r = radius_map.get(name, default_radius)
         segs = [np.asarray(spec.joint_pos[c], np.float64)
@@ -116,6 +118,7 @@ def register_agent(cls=None):
 class BaseAgent:
     uid: str = "base"
     urdf_path: str = ""
+    fix_root_link: bool = True  # False -> synthetic 6-dof floating root
     ee_link_name: Optional[str] = None
     keyframes: Dict[str, Keyframe] = {}
     # per-link friction override, e.g. {"panda_leftfinger": 2.0}
@@ -153,9 +156,15 @@ class BaseAgent:
 
     # -- to override --------------------------------------------------------
     def _make_robot_spec(self) -> RobotSpec:
-        """Default: parse the URDF. Robots defined from MJCF or
-        programmatically override this."""
-        return parse_urdf(self.urdf_path)
+        """Default: parse the URDF; with ``fix_root_link = False`` the tree
+        gets a synthetic 6-dof floating root (reference BaseAgent
+        fix_root_link, base_agent.py — e.g. unitree G1 g1.py:16)."""
+        spec = parse_urdf(self.urdf_path)
+        if not getattr(self, "fix_root_link", True):
+            from ..kinematics.urdf import float_base
+
+            spec = float_base(spec)
+        return spec
 
     def _controller_configs(self) -> Dict[str, Dict[str, ControllerConfig]]:
         raise NotImplementedError

@@ -158,6 +158,11 @@ class RobotSpec:
     base_collisions: list = field(default_factory=list)
     # reflected rotor inertia added to M[k,k] (MJCF 'armature'; zero for URDF)
     armature: Optional[np.ndarray] = None
+    # inertial properties fused into the FIXED base (meaningless while the
+    # base is fixed; float_base() promotes them onto the floating root body)
+    base_mass: float = 0.0
+    base_com: np.ndarray = field(default_factory=lambda: np.zeros(3))
+    base_inertia: np.ndarray = field(default_factory=lambda: np.zeros((3, 3)))
 
     def frame_of(self, name: str) -> Tuple[int, np.ndarray, np.ndarray]:
         """Return (body_idx, offset_p, offset_q) for a movable link or a fused
@@ -304,11 +309,23 @@ def parse_urdf(path: str, root_link: Optional[str] = None) -> RobotSpec:
     body_collisions: List[list] = []
     base_collisions: list = []
 
+    base_inertial = dict(mass=0.0, com=np.zeros(3), inertia=np.zeros((3, 3)))
+
     def fuse_into(body_i: int, link_name: str, off_p: np.ndarray, off_q: np.ndarray):
         """Accumulate link inertia into body ``body_i`` (or base if -1) and
         record its frame; recurse over fixed children; return movable children
         as (joint, cumulative offset) pairs."""
         ln = links[link_name]
+        if body_i < 0 and ln.mass > 0:
+            # record fixed-base inertials so float_base() can promote them
+            R = _quat_to_mat(off_q)
+            c_new = off_p + R @ ln.com
+            I_new = R @ (ln.inertia - ln.mass * (np.dot(ln.com, ln.com) * np.eye(3) - np.outer(ln.com, ln.com))) @ R.T
+            I_new = I_new + ln.mass * (np.dot(c_new, c_new) * np.eye(3) - np.outer(c_new, c_new))
+            m_tot = base_inertial["mass"] + ln.mass
+            base_inertial["com"] = (base_inertial["mass"] * base_inertial["com"] + ln.mass * c_new) / m_tot
+            base_inertial["mass"] = m_tot
+            base_inertial["inertia"] = base_inertial["inertia"] + I_new
         if body_i >= 0 and ln.mass > 0:
             R = _quat_to_mat(off_q)
             c_new = off_p + R @ ln.com
@@ -390,4 +407,76 @@ def parse_urdf(path: str, root_link: Optional[str] = None) -> RobotSpec:
         base_link=root_link,
         body_collisions=body_collisions,
         base_collisions=base_collisions,
+        base_mass=base_inertial["mass"],
+        base_com=base_inertial["com"],
+        base_inertia=base_inertial["inertia"],
+    )
+
+
+def float_base(spec: RobotSpec, prefix: str = "root") -> RobotSpec:
+    """Insert a synthetic 6-dof floating root (3 prismatic x/y/z + 3
+    revolute z/y/x through massless frames) ahead of a fixed-base tree —
+    the URDF analogue of the MJCF ``<freejoint>`` expansion (mjcf.py) used
+    for mobile/humanoid robots the reference loads with
+    ``fix_root_link=False`` (e.g. unitree G1, g1.py:16).
+
+    The spec's former fixed base becomes movable body 5 (named
+    ``{prefix}_base``); base-attached collisions and frames ride it."""
+    n0 = spec.nb
+    syn_axes = np.array(
+        [[1, 0, 0], [0, 1, 0], [0, 0, 1],   # slides x, y, z
+         [0, 0, 1], [0, 1, 0], [1, 0, 0]],  # hinges z, y, x
+        np.float64)
+    syn_types = np.array([JOINT_PRISMATIC] * 3 + [JOINT_REVOLUTE] * 3,
+                         np.int32)
+    parent = np.concatenate([
+        np.array([-1, 0, 1, 2, 3, 4], np.int32),
+        np.where(spec.parent < 0, 5, spec.parent + 6).astype(np.int32),
+    ])
+    eye6 = np.tile(np.eye(3) * 1e-8, (6, 1, 1))
+    frames = {}
+    for nm, (bi, fp, fq) in spec.frames.items():
+        frames[nm] = (5 if bi < 0 else bi + 6, fp, fq)
+    link_index = {nm: bi + 6 for nm, bi in spec.link_index.items()}
+    link_index[f"{prefix}_base"] = 5
+    for k, s in enumerate(("x", "y", "z", "rz", "ry")):
+        link_index[f"{prefix}_{s}_f"] = k
+    body_collisions = [[] for _ in range(5)]
+    # the old fixed base's geoms ride the new body 5 (same frame)
+    body_collisions.append(list(spec.base_collisions))
+    body_collisions.extend(spec.body_collisions)
+    return RobotSpec(
+        name=spec.name,
+        nb=n0 + 6,
+        parent=parent,
+        joint_type=np.concatenate([syn_types, spec.joint_type]),
+        joint_pos=np.concatenate([np.zeros((6, 3)), spec.joint_pos]),
+        joint_quat=np.concatenate(
+            [np.tile(np.array([1.0, 0, 0, 0]), (6, 1)), spec.joint_quat]),
+        axis=np.concatenate([syn_axes, spec.axis]),
+        mass=np.concatenate([
+            np.full(5, 1e-6), [max(spec.base_mass, 1e-6)], spec.mass]),
+        com=np.concatenate([
+            np.zeros((5, 3)), spec.base_com[None], spec.com]),
+        inertia=np.concatenate([
+            eye6[:5],
+            (spec.base_inertia + np.eye(3) * 1e-8)[None], spec.inertia]),
+        qlim=np.concatenate([
+            np.array([[-10.0, 10.0]] * 3 + [[-12.6, 12.6]] * 3), spec.qlim]),
+        effort=np.concatenate([np.full(6, 1e10), spec.effort]),
+        vel_limit=np.concatenate([np.full(6, 1e10), spec.vel_limit]),
+        joint_damping=np.concatenate([np.zeros(6), spec.joint_damping]),
+        joint_friction=np.concatenate([np.zeros(6), spec.joint_friction]),
+        frames=frames,
+        link_index=link_index,
+        joint_names=[f"{prefix}_{s}" for s in
+                     ("x", "y", "z", "rz", "ry", "rx")] + spec.joint_names,
+        link_names=[f"{prefix}_{s}_f" for s in
+                    ("x", "y", "z", "rz", "ry")] + [f"{prefix}_base"]
+        + spec.link_names,
+        base_link="world",
+        body_collisions=body_collisions,
+        base_collisions=[],
+        armature=None if spec.armature is None else np.concatenate(
+            [np.zeros(6), spec.armature]),
     )
