@@ -23,9 +23,34 @@ def main():
     import maniskill_tpu as mst
     from maniskill_tpu.planners import MPPI, MPPIConfig
 
+    # Fail soft on backend init: the axon TPU tunnel can be down, in which
+    # case jax.devices() either raises UNAVAILABLE or hangs. Probe it in a
+    # watchdog thread; emit a machine-readable error JSON either way.
+    import threading
+
+    probe = {}
+
+    def _probe():
+        try:
+            probe["platform"] = jax.devices()[0].platform
+        except Exception as e:
+            probe["error"] = f"backend init failed: {type(e).__name__}: {str(e)[:500]}"
+
+    th = threading.Thread(target=_probe, daemon=True)
+    th.start()
+    th.join(timeout=float(os.environ.get("BENCH_INIT_TIMEOUT", 300)))
+    if "platform" not in probe:
+        print(json.dumps(dict(
+            metric="PickCube-v1 MPPI rollouts/s/chip",
+            value=0.0, unit="rollouts/s", vs_baseline=0.0,
+            error=probe.get("error", "backend init timed out (TPU tunnel down?)"),
+        )))
+        sys.stdout.flush()
+        os._exit(0)  # backend-init thread may be unkillable; exit hard
+
     horizon = int(os.environ.get("BENCH_HORIZON", 50))
     num_samples = int(os.environ.get("BENCH_SAMPLES", 4096))
-    platform = jax.devices()[0].platform
+    platform = probe["platform"]
     if platform == "cpu":
         # CPU smoke-mode so the bench is runnable anywhere
         num_samples = int(os.environ.get("BENCH_SAMPLES", 64))
@@ -69,4 +94,16 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # never print a bare traceback: keep output parsable
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        print(json.dumps(dict(
+            metric="PickCube-v1 MPPI rollouts/s/chip",
+            value=0.0, unit="rollouts/s", vs_baseline=0.0,
+            error=f"{type(e).__name__}: {str(e)[:500]}",
+        )))
+        sys.stdout.flush()
+        os._exit(1)
