@@ -206,7 +206,21 @@ def compute_contacts(model: SceneModel, state: SimState, body_pos, body_quat):
         pb, qb = gpos[ib_arr], gquat[ib_arr]
         sa = gsize[ia_arr]
         sb = gsize[ib_arr]
-        c = jax.vmap(fn)(pa, qa, sa, pb, qb, sb)  # (n_pairs, npts, ...)
+        hargs = getattr(fn, "hull_args", None)
+        if hargs is None:
+            c = jax.vmap(fn)(pa, qa, sa, pb, qb, sb)  # (n_pairs, npts, ...)
+        else:
+            # convex-hull pairs additionally consume the per-env padded
+            # vertex/face tables (SimState.hull_verts/hull_faces) of the
+            # hull side(s) — static slot gathers, shapes stay fixed
+            slot = model.geom_hull_slot
+            extras = []
+            if "a" in hargs:
+                ha = slot[np.asarray(ia_arr)]
+                extras += [state.hull_verts[ha], state.hull_faces[ha]]
+            hb = slot[np.asarray(ib_arr)]
+            extras += [state.hull_verts[hb], state.hull_faces[hb]]
+            c = jax.vmap(fn)(pa, qa, sa, pb, qb, sb, *extras)
         pos_l.append(c.pos.reshape(-1, 3))
         nrm_l.append(c.normal.reshape(-1, 3))
         dep_l.append(c.depth.reshape(-1))

@@ -50,6 +50,7 @@ class GeomSpec:
     offset_q: np.ndarray  # (4,)
     friction: float = 0.3
     name: str = ""
+    hull: int = -1  # slot into the per-env hull tables (gtype == HULL)
 
 
 @dataclass(frozen=True)
@@ -142,6 +143,12 @@ class SimState:
     # the model; tasks overwrite per episode.
     free_mass: jnp.ndarray  # (n_free,)
     free_inertia: jnp.ndarray  # (n_free, 3, 3) about CoM, body frame
+    # per-env convex-hull collision tables (heterogeneous batches phase 3:
+    # each env can hold a DIFFERENT convex object — the reference's
+    # per-scene YCB mesh selection, pick_single_ycb.py:81-124 — selected by
+    # writing rows from a static asset table; physics/hulls.py).
+    hull_verts: jnp.ndarray = None  # (n_hull, HULL_P, 3) contact cloud
+    hull_faces: jnp.ndarray = None  # (n_hull, HULL_F, 4) planes [n, d]
 
 
 class PairDrive(NamedTuple):
@@ -205,8 +212,25 @@ class SceneModel:
         tree_id: Optional[np.ndarray] = None,
         art_dof_index: Optional[Dict[str, np.ndarray]] = None,
         drives: Optional[List["PairDrive"]] = None,
+        hull_verts: Optional[np.ndarray] = None,  # (n_hull, HULL_V, 3)
+        hull_faces: Optional[np.ndarray] = None,  # (n_hull, HULL_F, 4)
     ):
+        from .hulls import HULL_F, HULL_P
+
         self.drives = list(drives) if drives else []
+        self.hull_verts0 = (
+            hull_verts.astype(np.float32) if hull_verts is not None
+            else np.zeros((0, HULL_P, 3), np.float32)
+        )
+        self.hull_faces0 = (
+            hull_faces.astype(np.float32) if hull_faces is not None
+            else np.zeros((0, HULL_F, 4), np.float32)
+        )
+        self.n_hull = self.hull_verts0.shape[0]
+        # geom index -> hull slot (-1 for non-hull geoms)
+        self.geom_hull_slot = np.array(
+            [g.hull for g in geoms], np.int32
+        ) if geoms else np.zeros(0, np.int32)
         self.robot = robot
         self.robot_base_pose = robot_base_pose.astype(np.float32)
         self.free_names = free_names
@@ -345,6 +369,8 @@ class SceneModel:
             contact_lam_t=jnp.zeros((self.n_points, 3)),
             free_mass=jnp.asarray(self.free_mass),
             free_inertia=jnp.asarray(self.free_inertia),
+            hull_verts=jnp.asarray(self.hull_verts0),
+            hull_faces=jnp.asarray(self.hull_faces0),
         )
 
     def geom_indices(self, name: str):
@@ -388,6 +414,9 @@ class SceneSpecBuilder:
         self._articulations: list = []
         # actor-pair drives (resolved at build): see add_drive
         self._drives: list = []
+        # per-env convex hull tables (one slot per HULL geom)
+        self.hull_verts: List[np.ndarray] = []
+        self.hull_faces: List[np.ndarray] = []
 
     # -- robot --------------------------------------------------------------
     def add_robot(
@@ -496,6 +525,36 @@ class SceneSpecBuilder:
                 )
             )
             self._collision_enabled.append(g.get("collision", True))
+        return idx
+
+    def add_free_hull(self, name: str, asset, density: float = 1000.0,
+                      friction: float = 0.3) -> int:
+        """Free rigid body whose collision shape is a convex hull
+        (physics/hulls.py HullAsset). The hull tables become per-env state,
+        so tasks can swap the asset per episode (the reference's
+        PickSingleYCB per-scene mesh selection, pick_single_ycb.py:81-124).
+        Returns the free-body index."""
+        idx = len(self.free_names)
+        self.free_names.append(name)
+        self.free_mass.append(asset.mass(density))
+        self.free_inertia.append(asset.inertia(density))
+        slot = len(self.hull_verts)
+        self.hull_verts.append(asset.cpts)  # contact cloud, not raw verts
+        self.hull_faces.append(asset.faces)
+        self.geoms.append(
+            GeomSpec(
+                kind=BodyKind.FREE,
+                body=idx,
+                gtype=GeomType.HULL,
+                size=np.asarray(asset.aabb_half, np.float32),
+                offset_p=np.zeros(3, np.float32),
+                offset_q=np.array([1, 0, 0, 0], np.float32),
+                friction=friction,
+                name=name,
+                hull=slot,
+            )
+        )
+        self._collision_enabled.append(True)
         return idx
 
     def add_kinematic_body(self, name: str, geoms: List[dict] = ()) -> int:
@@ -776,6 +835,8 @@ class SceneSpecBuilder:
             tree_id=tree_id,
             art_dof_index=art_dof_index,
             drives=drives,
+            hull_verts=np.stack(self.hull_verts) if self.hull_verts else None,
+            hull_faces=np.stack(self.hull_faces) if self.hull_faces else None,
         )
 
 

@@ -33,6 +33,8 @@ class GeomType(IntEnum):
     BOX = 2  # size = half extents
     CAPSULE = 3  # size[0] = radius, size[1] = half length (axis +z)
     CYLINDER = 4  # size[0] = radius, size[1] = half length (axis +z)
+    HULL = 5  # convex hull: padded vertex+face tables (physics/hulls.py);
+    #           size = AABB half-extents (render/broadphase only)
 
 
 class ContactPoints(NamedTuple):
@@ -214,6 +216,111 @@ def box_box_onesided(pa, qa, sa, pb, qb, sb) -> ContactPoints:
     return ContactPoints(ca, n_a, -sdf_a)
 
 
+# ---------------------------------------------------------------------------
+# convex hulls (padded vertex + face-plane tables, physics/hulls.py)
+# ---------------------------------------------------------------------------
+# TPU-native convex-mesh narrowphase (reference analogue: PhysX convex PCM
+# over SAPIEN-cooked meshes, used by every YCB/PartNet task —
+# pick_single_ycb.py:27). Contact candidates are vertex-vs-SDF tests with
+# STATIC point budgets: hull vertices against the other shape's SDF, plus
+# (for box/hull counterparts) the counterpart's vertices against the hull's
+# face-plane SDF. Inside a convex shape the max-face-plane SDF is exact;
+# outside it underestimates distance near edges, which only widens the
+# speculative-contact margin band — depths (penetrations) are exact.
+
+
+def _hull_sdf(p_local: jnp.ndarray, faces: jnp.ndarray):
+    """Signed distance + outward normal of points vs a face-plane hull.
+
+    p_local: (..., 3) points in hull frame; faces: (Hf, 4) outward planes
+    [n, d] with n·p <= d inside (padding planes sit at d=1e6)."""
+    d = p_local @ faces[:, :3].T - faces[:, 3]  # (..., Hf)
+    sdf = jnp.max(d, axis=-1)
+    oh = (d >= sdf[..., None]).astype(jnp.float32)
+    oh = oh / jnp.sum(oh, axis=-1, keepdims=True)
+    n = oh @ faces[:, :3]
+    n = n / jnp.maximum(
+        jnp.sqrt(jnp.sum(n * n, axis=-1, keepdims=True)), 1e-9
+    )
+    return sdf, n
+
+
+def plane_hull(pa, qa, sa, pb, qb, sb, vb, fb) -> ContactPoints:
+    """A = plane, B = hull: every hull vertex against the halfspace."""
+    n = quat_apply(qa, jnp.array([0.0, 0.0, 1.0]))
+    w = pb + quat_apply(qb[None], vb)  # (V, 3)
+    dist = (w - pa) @ n
+    V = vb.shape[0]
+    return ContactPoints(w, jnp.broadcast_to(-n, (V, 3)), -dist)
+
+
+def sphere_hull(pa, qa, sa, pb, qb, sb, vb, fb) -> ContactPoints:
+    """A = sphere, B = hull: center vs hull SDF."""
+    r = sa[0]
+    loc = quat_apply(quat_conjugate(qb), pa - pb)
+    sdf, nl = _hull_sdf(loc, fb)
+    n = quat_apply(qb, nl)  # B -> A
+    depth = r - sdf
+    pos = pa - n * (r - 0.5 * depth)
+    return ContactPoints(pos[None], n[None], depth[None])
+
+
+def box_hull(pa, qa, sa, pb, qb, sb, vb, fb) -> ContactPoints:
+    """A = box, B = hull: A's 8 corners vs hull SDF + B's verts vs box SDF."""
+    ca = _box_corners(pa, qa, sa)  # (8, 3)
+    loc = quat_apply(quat_conjugate(qb)[None], ca - pb)
+    sdf_a, nl_a = _hull_sdf(loc, fb)
+    n_a = quat_apply(qb[None], nl_a)  # outward of B = B -> A
+    w = pb + quat_apply(qb[None], vb)  # (V, 3) hull verts world
+    locb = quat_apply(quat_conjugate(qa)[None], w - pa)
+    sdf_b, nl_b = _point_box_sdf(locb, sa)
+    n_b = -quat_apply(qa[None], nl_b)  # outward of A = A -> B; flip to B -> A
+    return ContactPoints(
+        jnp.concatenate([ca, w]),
+        jnp.concatenate([n_a, n_b]),
+        jnp.concatenate([-sdf_a, -sdf_b]),
+    )
+
+
+def capsule_hull(pa, qa, sa, pb, qb, sb, vb, fb) -> ContactPoints:
+    """A = capsule, B = hull: 3 axis sample spheres vs hull SDF."""
+    axis = quat_apply(qa, jnp.array([0.0, 0.0, 1.0]))
+    t = jnp.array([-1.0, 0.0, 1.0]) * sa[1]
+    centers = pa[None] + axis[None] * t[:, None]  # (3, 3)
+    loc = quat_apply(quat_conjugate(qb)[None], centers - pb)
+    sdf, nl = _hull_sdf(loc, fb)
+    n = quat_apply(qb[None], nl)
+    r = sa[0]
+    depth = r - sdf
+    pos = centers - n * (r - 0.5 * depth)[:, None]
+    return ContactPoints(pos, n, depth)
+
+
+def hull_hull(pa, qa, sa, pb, qb, sb, va, fa, vb, fb) -> ContactPoints:
+    """Both hulls: A's verts vs B's SDF + B's verts vs A's SDF."""
+    wa = pa + quat_apply(qa[None], va)
+    loc_a = quat_apply(quat_conjugate(qb)[None], wa - pb)
+    sdf_a, nl_a = _hull_sdf(loc_a, fb)
+    n_a = quat_apply(qb[None], nl_a)  # B -> A
+    wb = pb + quat_apply(qb[None], vb)
+    loc_b = quat_apply(quat_conjugate(qa)[None], wb - pa)
+    sdf_b, nl_b = _hull_sdf(loc_b, fa)
+    n_b = -quat_apply(qa[None], nl_b)  # flip: B -> A
+    return ContactPoints(
+        jnp.concatenate([wa, wb]),
+        jnp.concatenate([n_a, n_b]),
+        jnp.concatenate([-sdf_a, -sdf_b]),
+    )
+
+
+# which sides of each hull pair function consume (verts, faces) tables
+plane_hull.hull_args = "b"
+sphere_hull.hull_args = "b"
+box_hull.hull_args = "b"
+capsule_hull.hull_args = "b"
+hull_hull.hull_args = "ab"
+
+
 # Dispatch table: (type_a, type_b) -> (fn, n_points). Pairs are canonically
 # ordered by the model builder so only these combinations occur.
 PAIR_FUNCS = {
@@ -227,6 +334,21 @@ PAIR_FUNCS = {
     (GeomType.CAPSULE, GeomType.BOX): (capsule_box, 3),
     (GeomType.CAPSULE, GeomType.CAPSULE): (capsule_capsule, 1),
 }
+
+
+def _register_hull_pairs():
+    from .hulls import HULL_P
+
+    PAIR_FUNCS.update({
+        (GeomType.PLANE, GeomType.HULL): (plane_hull, HULL_P),
+        (GeomType.SPHERE, GeomType.HULL): (sphere_hull, 1),
+        (GeomType.BOX, GeomType.HULL): (box_hull, 8 + HULL_P),
+        (GeomType.CAPSULE, GeomType.HULL): (capsule_hull, 3),
+        (GeomType.HULL, GeomType.HULL): (hull_hull, 2 * HULL_P),
+    })
+
+
+_register_hull_pairs()
 
 
 def contact_fn(type_a: int, type_b: int):

@@ -91,6 +91,28 @@ def _ray_box(o, d, half, eps=1e-9):
     return jnp.where(hit & (t > 0), t, jnp.inf)
 
 
+def _ray_hull(o, d, faces, eps=1e-9):
+    """Ray vs convex face-plane hull (physics/hulls.py layout). Returns
+    (t (N,), local normal (N, 3)); padding planes (d=1e6) are inert."""
+    n = faces[:, :3]  # (Hf, 3)
+    off = faces[:, 3]
+    denom = d @ n.T  # (N, Hf)
+    dist = o @ n.T - off[None]  # > 0 means outside this halfspace
+    safe = jnp.where(jnp.abs(denom) < eps,
+                     jnp.where(denom >= 0, eps, -eps), denom)
+    t_bound = -dist / safe
+    lower = jnp.where(denom < -eps, t_bound, -jnp.inf)
+    upper = jnp.where(denom > eps, t_bound, jnp.inf)
+    parallel_miss = (jnp.abs(denom) <= eps) & (dist > 0)
+    t_near = jnp.max(lower, axis=-1)
+    t_far = jnp.min(upper, axis=-1)
+    hit = (t_near <= t_far) & (t_near > 0) & ~jnp.any(parallel_miss, axis=-1)
+    oh = ((lower >= t_near[:, None]) & (denom < -eps)).astype(jnp.float32)
+    oh = oh / jnp.maximum(jnp.sum(oh, axis=-1, keepdims=True), 1.0)
+    n_loc = oh @ n
+    return jnp.where(hit, t_near, jnp.inf), n_loc
+
+
 def _ray_capsule(o, d, r, hl):
     """Rays vs capsule along z in geom frame: infinite-cylinder hit clamped to
     the segment + two sphere caps."""
@@ -189,6 +211,8 @@ class Camera:
                 n_loc = dvec / jnp.sqrt(
                     jnp.sum(dvec * dvec, axis=-1, keepdims=True) + 1e-18
                 )
+            elif g.gtype == GeomType.HULL:
+                t, n_loc = _ray_hull(o, d, state.hull_faces[g.hull])
             else:
                 t = jnp.full(N, jnp.inf)
                 n_loc = jnp.zeros((N, 3))
