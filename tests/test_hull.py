@@ -140,3 +140,23 @@ def test_hull_on_box_and_hull_on_hull():
     assert abs(z1 - (0.04 + 0.02)) < 4e-3, z1           # rests on platform
     assert abs(z2 - (0.04 + 0.04 + 0.035)) < 8e-3, z2   # stays stacked
     assert float(jnp.linalg.norm(s.free_vel)) < 1e-3
+
+
+def test_pick_single_hull_env():
+    """Env-level heterogeneity: 4 sub-envs hold 4 different hull objects
+    (reference PickSingleYCB contract, pick_single_ycb.py:81-124)."""
+    import maniskill_tpu as mst
+
+    env = mst.make("PickSingleHull-v1", num_envs=4)
+    env.reset(seed=0)
+    ids0 = np.asarray(env._state.extras["model_id"]).copy()
+    assert len(set(ids0.tolist())) >= 2  # different objects sampled
+    rng = np.random.RandomState(0)
+    for _ in range(5):
+        obs, rew, term, trunc, info = env.step(env.sample_action(rng))
+    assert np.isfinite(np.asarray(obs)).all()
+    assert np.isfinite(np.asarray(rew)).all()
+    # partial reset resamples only the chosen envs
+    env.reset(options=dict(env_idx=jnp.array([0])))
+    ids1 = np.asarray(env._state.extras["model_id"])
+    assert (ids1[1:] == ids0[1:]).all()
