@@ -145,13 +145,29 @@ def supports(model: SceneModel) -> bool:
     for g in model.geoms:
         if g.kind == BodyKind.ROBOT_LINK and g.body < -1:
             return False
-    # VMEM budget gate: per-point stacks are (P, 8, 128) f32 (4 KB/point)
-    # with ~20 live at peak, plus per-dof C rows. Scenes past these bounds
-    # (e.g. the Fetch+cabinet forest: P=320, nq=16) overflow VMEM and can
-    # crash the Mosaic compile — fall back to the XLA path.
+    # VMEM budget gate. Since the round-3 chunked per-point pipeline the
+    # persistent per-point cost is ~10 (P, 8, 128) stacks (narrowphase +
+    # lever arms) + the lam/lamt carry, with per-dof transients capped at
+    # (n_active x 3 x _CHUNK); estimate total VMEM and fall back to XLA
+    # past ~80 MB. n_all is additionally capped: the scalarized Cholesky
+    # is O(n_all^3) unrolled ops (compile-time bound, not VMEM).
     nq = model.nq
+    F = model.n_free
     P = model.n_points
-    if P > 220 or nq + 6 * model.n_free > 24:
+    n_all = nq + 6 * F
+    if n_all > 32:
+        return False
+    nb = model.robot.nb if model.robot else 0
+    nk = getattr(model, "n_kin", 0)
+    G = len(model.geoms)
+    tile = 4 * 1024  # one (8, 128) f32 tile per point-row at eb=1024
+    r_in = 5 * nq + 13 * F + 7 * nk + 3 * G + 7 * F + 4 * P
+    r_out = 2 * nq + 13 * F + 7 * P + 10 * nb
+    persistent = 14 * P          # cpos/cnrm/cdep/rel + lam/lamt carry+new
+    transient = (n_all * 3 + 24) * _CHUNK
+    small = 2 * (n_all * n_all) + 12 * nb + 8 * G
+    est = (r_in + r_out + persistent + transient + small) * tile
+    if est > 80 * 1024 * 1024:
         return False
     return True
 
@@ -784,181 +800,198 @@ def _build_kernel(plan: _Plan, n_substeps: int, eb: int = EB):
                 )
                 cdep = jnp.concatenate(cdep_l, axis=0)  # (P, 8, 128)
 
-            # ---------------- point velocities + force law --------------
-            # contact-free models (e.g. cartpole: zero candidate pairs)
-            # short-circuit every per-point stage
-            if P == 0:
-                zp3 = jnp.zeros((1, eb // 128, 128), jnp.float32)
-                d_n = d_t = zp3
-                f_vel = f_pos = (zp3, zp3, zp3)
-
-                def point_vels(vbw, vbv, fvel_rows):
-                    return zp3, (zp3, zp3, zp3)
-
-                def forces_at(v_n_, v_t_):
-                    return zp3, zp3, (zp3, zp3, zp3), zp3 > 0
-
+            # ---------------- per-point pipeline (CHUNKED) ---------------
+            # Per-dof × per-point products are processed _CHUNK points at a
+            # time with per-chunk static dof pruning, so VMEM holds
+            # (n_active_dofs × 3 × _CHUNK) transients instead of
+            # (n_all × 3 × P) stacks. This is what lifts the round-2
+            # P<=220 / n_all<=24 scene-size gate (StackCube P=248,
+            # PegInsertionSide P=328, PlugCharger P=453, cabinet forests
+            # P=320/nq=16, humanoid nq=27 all fit now).
+            chunk_bounds = []
             if P > 0:
+                chunk_bounds = [
+                    (c0, min(c0 + _CHUNK, P))
+                    for c0 in range(0, P, _CHUNK)
+                ]
                 relx = cpos[0] - ref[0]
                 rely = cpos[1] - ref[1]
                 relz = cpos[2] - ref[2]
+                d_n0_f = pcst(_r_dn0)
+                cmu_f = pcst(_r_cmu)
 
-                def side_vel(r_idx, f_idx, vbw, vbv, fvel_rows):
-                    """Stacked point velocity of one side (robot + free)."""
-                    outs = []
-                    for c in range(3):
-                        rows_r = [
-                            (vbv[b][c] if b >= 0 else zero)
-                            for b in r_idx
-                        ]
-                        outs.append(_stk(rows_r))
-                    vx, vy, vz = outs
-                    wx = _stk([(vbw[b][0] if b >= 0 else zero) for b in r_idx])
-                    wy = _stk([(vbw[b][1] if b >= 0 else zero) for b in r_idx])
-                    wz = _stk([(vbw[b][2] if b >= 0 else zero) for b in r_idx])
-                    vx = vx + wy * relz - wz * rely
-                    vy = vy + wz * relx - wx * relz
-                    vz = vz + wx * rely - wy * relx
+                def side_vel(c0, c1, r_idx, f_idx, vbw, vbv, fvel_rows):
+                    """Stacked point velocity of one side over [c0:c1)."""
+                    rr = [int(b) for b in r_idx[c0:c1]]
+                    ff = [int(j) for j in f_idx[c0:c1]]
+                    n = c1 - c0
+                    rx, ry, rz = relx[c0:c1], rely[c0:c1], relz[c0:c1]
+                    zch = jnp.zeros((n, eb // 128, 128), jnp.float32)
+                    if any(b >= 0 for b in rr):
+                        vx = _stk([(vbv[b][0] if b >= 0 else zero) for b in rr])
+                        vy = _stk([(vbv[b][1] if b >= 0 else zero) for b in rr])
+                        vz = _stk([(vbv[b][2] if b >= 0 else zero) for b in rr])
+                        wx = _stk([(vbw[b][0] if b >= 0 else zero) for b in rr])
+                        wy = _stk([(vbw[b][1] if b >= 0 else zero) for b in rr])
+                        wz = _stk([(vbw[b][2] if b >= 0 else zero) for b in rr])
+                        vx = vx + wy * rz - wz * ry
+                        vy = vy + wz * rx - wx * rz
+                        vz = vz + wx * ry - wy * rx
+                    else:
+                        vx = vy = vz = zch
                     # free side: v + ω × (cpos − fp)
                     # fvel rows: [lin xyz, ang xyz] per body
-                    def frow(j, i):
-                        return fvel_rows[6 * j + i] if j >= 0 else zero
-                    flx = _stk([frow(j, 0) for j in f_idx])
-                    fly = _stk([frow(j, 1) for j in f_idx])
-                    flz = _stk([frow(j, 2) for j in f_idx])
-                    fwx = _stk([frow(j, 3) for j in f_idx])
-                    fwy = _stk([frow(j, 4) for j in f_idx])
-                    fwz = _stk([frow(j, 5) for j in f_idx])
-                    fpx = _stk([(fpose[7 * j] if j >= 0 else zero)
-                                for j in f_idx])
-                    fpy = _stk([(fpose[7 * j + 1] if j >= 0 else zero)
-                                for j in f_idx])
-                    fpz = _stk([(fpose[7 * j + 2] if j >= 0 else zero)
-                                for j in f_idx])
-                    ax_ = cpos[0] - fpx
-                    ay_ = cpos[1] - fpy
-                    az_ = cpos[2] - fpz
-                    vx = vx + flx + fwy * az_ - fwz * ay_
-                    vy = vy + fly + fwz * ax_ - fwx * az_
-                    vz = vz + flz + fwx * ay_ - fwy * ax_
+                    if any(j >= 0 for j in ff):
+                        def frow(j, i):
+                            return fvel_rows[6 * j + i] if j >= 0 else zero
+                        flx = _stk([frow(j, 0) for j in ff])
+                        fly = _stk([frow(j, 1) for j in ff])
+                        flz = _stk([frow(j, 2) for j in ff])
+                        fwx = _stk([frow(j, 3) for j in ff])
+                        fwy = _stk([frow(j, 4) for j in ff])
+                        fwz = _stk([frow(j, 5) for j in ff])
+                        fpx = _stk([(fpose[7 * j] if j >= 0 else zero)
+                                    for j in ff])
+                        fpy = _stk([(fpose[7 * j + 1] if j >= 0 else zero)
+                                    for j in ff])
+                        fpz = _stk([(fpose[7 * j + 2] if j >= 0 else zero)
+                                    for j in ff])
+                        ax_ = cpos[0][c0:c1] - fpx
+                        ay_ = cpos[1][c0:c1] - fpy
+                        az_ = cpos[2][c0:c1] - fpz
+                        vx = vx + flx + fwy * az_ - fwz * ay_
+                        vy = vy + fly + fwz * ax_ - fwx * az_
+                        vz = vz + flz + fwx * ay_ - fwy * ax_
                     return vx, vy, vz
 
-                def point_vels(vbw, vbv, fvel_rows):
-                    va = side_vel(plan.ra_idx, plan.fa_idx, vbw, vbv, fvel_rows)
-                    vb = side_vel(plan.rb_idx, plan.fb_idx, vbw, vbv, fvel_rows)
-                    rvx, rvy, rvz = va[0] - vb[0], va[1] - vb[1], va[2] - vb[2]
-                    v_n = rvx * cnrm[0] + rvy * cnrm[1] + rvz * cnrm[2]
-                    return v_n, (rvx - v_n * cnrm[0], rvy - v_n * cnrm[1],
-                                 rvz - v_n * cnrm[2])
+                def point_vels(c0, c1, cn, vbw, vbv, fvel_rows):
+                    va = side_vel(c0, c1, plan.ra_idx, plan.fa_idx,
+                                  vbw, vbv, fvel_rows)
+                    vb = side_vel(c0, c1, plan.rb_idx, plan.fb_idx,
+                                  vbw, vbv, fvel_rows)
+                    rvx, rvy, rvz = (va[0] - vb[0], va[1] - vb[1],
+                                     va[2] - vb[2])
+                    v_n = rvx * cn[0] + rvy * cn[1] + rvz * cn[2]
+                    return v_n, (rvx - v_n * cn[0], rvy - v_n * cn[1],
+                                 rvz - v_n * cn[2])
 
-                v_n, v_t = point_vels(vb_w, vb_v, fvel)
+                def chunk_ctx(c0, c1):
+                    """Warm-start/depth-dependent contact terms of a chunk."""
+                    cn = tuple(cnrm[c][c0:c1] for c in range(3))
+                    cd = cdep[c0:c1]
+                    lam_ch = lam[c0:c1]
+                    active = (cd > -margin).astype(jnp.float32)
+                    pen_bias = jnp.minimum(
+                        beta * jnp.maximum(cd, 0.0) / h, bias_max
+                    )
+                    spec_b = jnp.minimum(cd, 0.0) / h
+                    # project warm-started friction onto the tangent plane
+                    ltn = (lamt[0][c0:c1] * cn[0] + lamt[1][c0:c1] * cn[1]
+                           + lamt[2][c0:c1] * cn[2])
+                    lt = tuple(lamt[c][c0:c1] - ltn * cn[c] for c in range(3))
+                    return dict(
+                        cn=cn, cd=cd, lam=lam_ch, active=active,
+                        t_vel=spec_b, t_pos=spec_b + pen_bias, lt=lt,
+                        d_n0=d_n0_f[c0:c1], cmu=cmu_f[c0:c1],
+                    )
 
-                d_n0 = pcst(_r_dn0)
-                cmu_c = pcst(_r_cmu)
-                active = (cdep > -margin).astype(jnp.float32)
-                pen_bias = jnp.minimum(
-                    beta * jnp.maximum(cdep, 0.0) / h, bias_max
-                )
-                spec_b = jnp.minimum(cdep, 0.0) / h
-                t_vel = spec_b
-                t_pos = spec_b + pen_bias
-                # project warm-started friction onto the tangent plane
-                ltn = (lamt[0] * cnrm[0] + lamt[1] * cnrm[1]
-                       + lamt[2] * cnrm[2])
-                lt = (lamt[0] - ltn * cnrm[0], lamt[1] - ltn * cnrm[1],
-                      lamt[2] - ltn * cnrm[2])
-
-                def forces_at(v_n_, v_t_):
-                    f_n_vel = jnp.maximum(lam + d_n0 * (t_vel - v_n_), 0.0)
-                    f_n_vel = f_n_vel * active
-                    f_n_pos = jnp.maximum(lam + d_n0 * (t_pos - v_n_), 0.0)
-                    f_n_pos = f_n_pos * active
-                    ftx = lt[0] - d_n0 * v_t_[0]
-                    fty = lt[1] - d_n0 * v_t_[1]
-                    ftz = lt[2] - d_n0 * v_t_[2]
+                def forces_at(ctx, v_n_, v_t_):
+                    f_n_vel = jnp.maximum(
+                        ctx["lam"] + ctx["d_n0"] * (ctx["t_vel"] - v_n_), 0.0
+                    ) * ctx["active"]
+                    f_n_pos = jnp.maximum(
+                        ctx["lam"] + ctx["d_n0"] * (ctx["t_pos"] - v_n_), 0.0
+                    ) * ctx["active"]
+                    ftx = ctx["lt"][0] - ctx["d_n0"] * v_t_[0]
+                    fty = ctx["lt"][1] - ctx["d_n0"] * v_t_[1]
+                    ftz = ctx["lt"][2] - ctx["d_n0"] * v_t_[2]
                     tn = jnp.sqrt(ftx * ftx + fty * fty + ftz * ftz + 1e-18)
-                    cap = cmu_c * f_n_pos
+                    cap = ctx["cmu"] * f_n_pos
                     sc = jnp.minimum(1.0, cap / tn)
-                    return (f_n_vel, f_n_pos, (ftx * sc, fty * sc, ftz * sc),
-                            tn <= cap)
+                    return (f_n_vel, f_n_pos,
+                            (ftx * sc, fty * sc, ftz * sc), tn <= cap)
 
-                f_n_vel, f_n_pos, f_t, sticking = forces_at(v_n, v_t)
-                gate = (f_n_vel > 0).astype(jnp.float32)
-                d_n = d_n0 * gate
-                vt_norm = jnp.sqrt(_dot(v_t, v_t) + vreg * vreg)
-                d_t = jnp.where(sticking, d_n0, cmu_c * f_n_pos / vt_norm) * gate
-                f_vel = (f_n_vel * cnrm[0] + f_t[0], f_n_vel * cnrm[1] + f_t[1],
-                         f_n_vel * cnrm[2] + f_t[2])
-                f_pos = (f_n_pos * cnrm[0] + f_t[0], f_n_pos * cnrm[1] + f_t[1],
-                         f_n_pos * cnrm[2] + f_t[2])
-
-            # ---------------- contact C rows + L/gf accumulation ---------
-            h_dt = h * d_t
-            h_nn = h * (d_n - d_t)
-            # active dof pruning (static): which dofs touch any point
-            dof_active = []
-            for k in range(nq):
-                dof_active.append(bool(np.any(plan.sm[k] != 0.0)))
-            for j in range(F):
-                dof_active += [bool(np.any(plan.sgn_free[j] != 0.0))] * 6
-            Cr = []  # per dof: (cx, cy, cz) stacks or None
-            for k in range(nq):
-                if not dof_active[k]:
-                    Cr.append(None)
-                    continue
-                smk = pcst(k)
-                wkx, wky, wkz = cols_w[k]
-                vkx, vky, vkz = cols_v[k]
-                Cr.append((
-                    smk * (vkx + wky * relz - wkz * rely),
-                    smk * (vky + wkz * relx - wkx * relz),
-                    smk * (vkz + wkx * rely - wky * relx),
-                ))
-            for j in range(F):
-                sj = pcst(nq + j)
-                ax_ = cpos[0] - fpose[7 * j]
-                ay_ = cpos[1] - fpose[7 * j + 1]
-                az_ = cpos[2] - fpose[7 * j + 2]
-                za = jnp.zeros_like(ax_)
-                rows = [
-                    (za, -az_ * sj, ay_ * sj),   # ω_x
-                    (az_ * sj, za, -ax_ * sj),   # ω_y
-                    (-ay_ * sj, ax_ * sj, za),   # ω_z
-                    (sj * jnp.ones_like(ax_), za, za),  # v_x
-                    (za, sj * jnp.ones_like(ax_), za),  # v_y
-                    (za, za, sj * jnp.ones_like(ax_)),  # v_z
-                ]
-                for r in rows:
-                    Cr.append(r if dof_active[nq + 6 * j] else None)
-
-            Gn = [
-                (None if C is None else
-                 C[0] * cnrm[0] + C[1] * cnrm[1] + C[2] * cnrm[2])
-                for C in Cr
-            ]
+            # pass 1: forces at current velocities -> gf rhs + L coupling
             gf_vel = [zero] * n_all
             gf_pos = [zero] * n_all
             L = [[None] * n_all for _ in range(n_all)]
-            for d in range(n_all):
-                if Cr[d] is None:
-                    continue
-                cxd, cyd, czd = Cr[d]
-                gf_vel[d] = jnp.sum(
-                    cxd * f_vel[0] + cyd * f_vel[1] + czd * f_vel[2], axis=0
-                )
-                gf_pos[d] = jnp.sum(
-                    cxd * f_pos[0] + cyd * f_pos[1] + czd * f_pos[2], axis=0
-                )
-                cwx, cwy, cwz = cxd * h_dt, cyd * h_dt, czd * h_dt
-                gnw = Gn[d] * h_nn
-                for e in range(d, n_all):
-                    if Cr[e] is None:
+            for (c0, c1) in chunk_bounds:
+                ctx = chunk_ctx(c0, c1)
+                cn = ctx["cn"]
+                v_n, v_t = point_vels(c0, c1, cn, vb_w, vb_v, fvel)
+                f_n_vel, f_n_pos, f_t, sticking = forces_at(ctx, v_n, v_t)
+                gate = (f_n_vel > 0).astype(jnp.float32)
+                d_n = ctx["d_n0"] * gate
+                vt_norm = jnp.sqrt(_dot(v_t, v_t) + vreg * vreg)
+                d_t = jnp.where(
+                    sticking, ctx["d_n0"], ctx["cmu"] * f_n_pos / vt_norm
+                ) * gate
+                f_vel = tuple(f_n_vel * cn[c] + f_t[c] for c in range(3))
+                f_pos = tuple(f_n_pos * cn[c] + f_t[c] for c in range(3))
+                # aux: last-substep contact forces (chunk rows)
+                for c in range(3):
+                    out_ref[plan.o_fpt[0] + c * P + c0:
+                            plan.o_fpt[0] + c * P + c1] = f_pos[c]
+                h_dt = h * d_t
+                h_nn = h * (d_n - d_t)
+                # per-chunk static dof pruning: only dofs whose sign rows
+                # are nonzero in THIS chunk get C rows
+                Cr = {}
+                rx, ry, rz = relx[c0:c1], rely[c0:c1], relz[c0:c1]
+                for k in range(nq):
+                    if not np.any(plan.sm[k][c0:c1]):
                         continue
-                    L[d][e] = jnp.sum(
-                        cwx * Cr[e][0] + cwy * Cr[e][1] + cwz * Cr[e][2]
-                        + gnw * Gn[e],
+                    smk = pcst(k)[c0:c1]
+                    wkx, wky, wkz = cols_w[k]
+                    vkx, vky, vkz = cols_v[k]
+                    Cr[k] = (
+                        smk * (vkx + wky * rz - wkz * ry),
+                        smk * (vky + wkz * rx - wkx * rz),
+                        smk * (vkz + wkx * ry - wky * rx),
+                    )
+                for j in range(F):
+                    if not np.any(plan.sgn_free[j][c0:c1]):
+                        continue
+                    sj = pcst(nq + j)[c0:c1]
+                    ax_ = cpos[0][c0:c1] - fpose[7 * j]
+                    ay_ = cpos[1][c0:c1] - fpose[7 * j + 1]
+                    az_ = cpos[2][c0:c1] - fpose[7 * j + 2]
+                    za = jnp.zeros_like(ax_)
+                    sjo = sj * jnp.ones_like(ax_)
+                    o = nq + 6 * j
+                    Cr[o + 0] = (za, -az_ * sj, ay_ * sj)       # ω_x
+                    Cr[o + 1] = (az_ * sj, za, -ax_ * sj)       # ω_y
+                    Cr[o + 2] = (-ay_ * sj, ax_ * sj, za)       # ω_z
+                    Cr[o + 3] = (sjo, za, za)                   # v_x
+                    Cr[o + 4] = (za, sjo, za)                   # v_y
+                    Cr[o + 5] = (za, za, sjo)                   # v_z
+                dofs = sorted(Cr)
+                Gn = {
+                    d: (Cr[d][0] * cn[0] + Cr[d][1] * cn[1]
+                        + Cr[d][2] * cn[2])
+                    for d in dofs
+                }
+                for d in dofs:
+                    cxd, cyd, czd = Cr[d]
+                    gf_vel[d] = gf_vel[d] + jnp.sum(
+                        cxd * f_vel[0] + cyd * f_vel[1] + czd * f_vel[2],
                         axis=0,
                     )
+                    gf_pos[d] = gf_pos[d] + jnp.sum(
+                        cxd * f_pos[0] + cyd * f_pos[1] + czd * f_pos[2],
+                        axis=0,
+                    )
+                    cwx, cwy, cwz = cxd * h_dt, cyd * h_dt, czd * h_dt
+                    gnw = Gn[d] * h_nn
+                    for e in dofs:
+                        if e < d:
+                            continue
+                        acc = jnp.sum(
+                            cwx * Cr[e][0] + cwy * Cr[e][1] + cwz * Cr[e][2]
+                            + gnw * Gn[e],
+                            axis=0,
+                        )
+                        L[d][e] = acc if L[d][e] is None else L[d][e] + acc
 
             # ---------------- robot mass + bias ----------------
             lhs = [[None] * n_all for _ in range(n_all)]
@@ -1243,26 +1276,38 @@ def _build_kernel(plan: _Plan, n_substeps: int, eb: int = EB):
                     tvv = _add(tvv, vb_v2[par])
                 vb_w2.append(tw)
                 vb_v2.append(tvv)
+            # pass 2 over the chunks: forces at the NEW velocities update
+            # the warm-started impulse accumulators
             if P > 0:
-                v_n2, v_t2 = point_vels(vb_w2, vb_v2, fvel_n)
-                f_n_vel2, _fnp2, f_t2, _st2 = forces_at(v_n2, v_t2)
-                touch = jnp.clip(1.0 + cdep / 1e-3, 0.0, 1.0)
-                lam_n = jnp.maximum(
-                    (1 - relax) * lam + relax * f_n_vel2, 0.0) * touch
+                lam_parts = []
+                lamt_parts = ([], [], [])
+                for (c0, c1) in chunk_bounds:
+                    ctx = chunk_ctx(c0, c1)
+                    v_n2, v_t2 = point_vels(
+                        c0, c1, ctx["cn"], vb_w2, vb_v2, fvel_n
+                    )
+                    f_n_vel2, _fnp2, f_t2, _st2 = forces_at(ctx, v_n2, v_t2)
+                    touch = jnp.clip(1.0 + ctx["cd"] / 1e-3, 0.0, 1.0)
+                    lam_parts.append(jnp.maximum(
+                        (1 - relax) * ctx["lam"] + relax * f_n_vel2, 0.0
+                    ) * touch)
+                    for c in range(3):
+                        lamt_parts[c].append(
+                            ((1 - relax) * ctx["lt"][c] + relax * f_t2[c])
+                            * touch
+                        )
+                lam_n = (jnp.concatenate(lam_parts, axis=0)
+                         if len(lam_parts) > 1 else lam_parts[0])
                 lamt_n = tuple(
-                    ((1 - relax) * lt[c] + relax * f_t2[c]) * touch
+                    (jnp.concatenate(lamt_parts[c], axis=0)
+                     if len(lamt_parts[c]) > 1 else lamt_parts[c][0])
                     for c in range(3)
                 )
             else:
                 lam_n, lamt_n = lam, lamt
 
-            # last-substep aux (overwritten each substep; final one persists)
-            if P > 0:
-                out_ref[plan.o_fpt[0]:plan.o_fpt[0] + P] = f_pos[0]
-                out_ref[plan.o_fpt[0] + P:plan.o_fpt[0] + 2 * P] = f_pos[1]
-                out_ref[plan.o_fpt[0] + 2 * P:plan.o_fpt[0] + 3 * P] = (
-                    f_pos[2]
-                )
+            # last-substep aux (overwritten each substep; final persists):
+            # contact forces were written chunk-wise in pass 1 above
             for b in range(nb):
                 for c in range(3):
                     out_ref[plan.o_bpos[0] + c * nb + b] = body_p[b][c]
