@@ -6,3 +6,4 @@ from .panda_stick import PandaStick  # noqa: F401
 from .xarm import XArm7, XArm7Ability, AllegroHandRight, DClaw  # noqa: F401
 from .floating_gripper import FloatingPandaGripper  # noqa: F401
 from .unitree import UnitreeG1  # noqa: F401
+from .quadruped import AnymalC, UnitreeGo2  # noqa: F401
