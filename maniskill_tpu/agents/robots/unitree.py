@@ -112,3 +112,32 @@ class UnitreeG1(BaseAgent):
             pd_joint_pos=dict(body=PDJointPosControllerConfig(
                 lower=None, upper=None, normalize_action=False, **common)),
         )
+
+
+@register_agent
+class UnitreeG1UpperBody(UnitreeG1):
+    """Fixed-base upper-body G1 — the reference's
+    ``unitree_g1_simplified_upper_body`` (g1_upper_body.py): pelvis welded
+    at standing height, legs frozen (here: passive + gravity-compensated),
+    torso + arms + hands actuated. Used by UnitreeG1TransportBox-v1."""
+
+    uid = "unitree_g1_upper_body"
+    fix_root_link = True
+    balance_passive_force = True  # frozen lower body, no gravity sag
+
+    def _make_robot_spec(self):
+        spec = BaseAgent._make_robot_spec(self)
+        q = np.zeros(spec.nb, np.float32)
+        for nm, v in _STANDING.items():
+            q[spec.joint_names.index(nm)] = v
+        # arms raised to the carry pose (reference transport_box.py:49-52)
+        q[spec.joint_names.index("left_shoulder_pitch_joint")] = 1.25
+        q[spec.joint_names.index("right_shoulder_pitch_joint")] = -1.25
+        self.keyframes = dict(standing=Keyframe(qpos=q),
+                              rest=Keyframe(qpos=q))
+        upper = ("torso", "shoulder", "elbow", "zero", "one", "two",
+                 "three", "four", "five", "six")
+        self._body_joints = [
+            n for n in spec.joint_names if any(k in n for k in upper)
+        ]
+        return spec

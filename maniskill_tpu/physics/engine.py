@@ -232,7 +232,10 @@ def compute_contacts(model: SceneModel, state: SimState, body_pos, body_quat):
             if not np.isfinite(m_eff):
                 m_eff = 1.0
             m_pt = m_eff / npts
-            k_pt = k / npts
+            # mass-aware stiffness floor (see SimParams.contact_ref_penetration)
+            g_norm = float(np.linalg.norm(params.gravity))
+            k_eff = max(k, m_eff * g_norm / params.contact_ref_penetration)
+            k_pt = k_eff / npts
             damping = 2.0 * params.contact_damping_ratio * np.sqrt(k_pt * m_pt)
             mu_pt += [mu_arr[j]] * npts
             c_pt += [damping] * npts

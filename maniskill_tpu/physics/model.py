@@ -100,6 +100,13 @@ class SimParams:
     # (tools/sweep_contact.py sweep); 5e4 is the measured stable point with
     # sub-mm static penetration under 30N grip drives. Spring mode: 2e4.
     contact_stiffness: float = 5.0e4
+    # mass-aware stiffness floor: per-pair k is raised to at least
+    # m_eff*|g|/contact_ref_penetration so heavy bodies rest at the same
+    # sub-mm penetration as light ones. Without it, a body much heavier
+    # than contact_stiffness is tuned for (e.g. an 8 kg crate on a table:
+    # 13 mm static budget) rocks itself sideways on its corner contacts —
+    # the position-bias transients pump a diagonal-rocking limit cycle.
+    contact_ref_penetration: float = 1.0e-4
     contact_damping_ratio: float = 1.0  # fraction of critical damping
     friction_vreg: float = 0.002  # m/s tangential regularization velocity
     joint_limit_stiffness: float = 4.0e3
