@@ -7,3 +7,4 @@ from .xarm import XArm7, XArm7Ability, AllegroHandRight, DClaw  # noqa: F401
 from .floating_gripper import FloatingPandaGripper  # noqa: F401
 from .unitree import UnitreeG1  # noqa: F401
 from .quadruped import AnymalC, UnitreeGo2  # noqa: F401
+from .realman import Realman  # noqa: F401

@@ -76,6 +76,15 @@ class TableSceneBuilder:
             qpos=np.array([0.0, -0.4, 0.0, 0.5, 0.0, 0.9, -3.0]
                           + [0.0] * 10, np.float32),
         ),
+        # mobile dual-arm Realman stands on the floor, rotated to face the
+        # table (its forward is -y at identity -> yaw +90°)
+        "mobile_realman": dict(
+            pose=np.array(
+                [-0.85, 0, -TABLE_HEIGHT,
+                 np.cos(np.pi / 4), 0, 0, np.sin(np.pi / 4)], np.float32,
+            ),
+            qpos=None,  # agent rest keyframe
+        ),
     }
 
     def __init__(self, env):
