@@ -67,6 +67,29 @@ def rollout_mesh(
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def hierarchical_mesh(
+    axis_names: Sequence[str] = ("dcn", "ici"),
+    dcn_size: Optional[int] = None,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """2-level (DCN × ICI) mesh per SURVEY §2.10: the outer axis spans
+    hosts/slices (cross-data-center-network collectives), the inner axis
+    the chips within a slice (ICI collectives). Shard the rollout batch
+    over BOTH axes — ``PartitionSpec(("dcn", "ici"))`` — so the MPPI
+    softmax reduction becomes a two-stage tree: chip-local partials over
+    ICI, then one small cross-host combine over DCN.
+
+    ``dcn_size`` defaults to ``jax.process_count()`` (1 in single-host
+    runs; pass an explicit factor to exercise the layout on a virtual
+    mesh)."""
+    devices = list(devices) if devices is not None else jax.devices()
+    n = len(devices)
+    d = dcn_size or max(jax.process_count(), 1)
+    assert n % d == 0, f"{n} devices not divisible into {d} DCN groups"
+    grid = np.asarray(devices).reshape(d, n // d)
+    return Mesh(grid, tuple(axis_names))
+
+
 def shard_rollouts(x, mesh: Mesh, axis_name: str = "rollout"):
     """Constrain the leading axis of a pytree to be sharded over the mesh."""
     sharding = NamedSharding(
