@@ -404,10 +404,30 @@ class BaseEnv:
             out_batched = jax.tree.map(lambda _: True, new_sim)
             return new_sim, out_batched
 
+        # Differentiable fast path: custom_vmap has no JVP rule, so wrap
+        # the dispatch in a custom_jvp whose PRIMAL rides the (possibly
+        # Pallas) dispatch and whose TANGENT rides the XLA step's exact
+        # JVP — legitimate because the two paths compute the same function
+        # (equivalence-tested, tests/test_megakernel*.py). This unpins
+        # iLQR/gradient-based planners from sim_backend='xla': forward
+        # rollouts (the line-search bulk) run the mega-kernel, jacobians
+        # differentiate the XLA trace.
+        @jax.custom_jvp
+        def phys_d(sim, cmd):
+            return phys(sim, cmd)
+
+        @phys_d.defjvp
+        def _phys_jvp(primals, tangents):
+            out = phys(*primals)
+            _, t_out = jax.jvp(
+                lambda s, c: step_xla(s, c, n_steps), primals, tangents
+            )
+            return out, t_out
+
         def stepper(sim, cmd, sim_steps=1, return_aux=False):
             if sim_steps != n_steps or return_aux:
                 return step_xla(sim, cmd, sim_steps, return_aux)
-            return phys(sim, cmd)
+            return phys_d(sim, cmd)
 
         return stepper
 

@@ -36,12 +36,9 @@ class ILQR:
         # jacfwd through the CPU scan-FK trips an XLA lowering bug on
         # batched tangents; the unrolled form differentiates cleanly
         chain.FORCE_UNROLLED = True
-        if getattr(env, "sim_backend", "xla") != "xla":
-            raise ValueError(
-                "iLQR differentiates through the physics step: construct "
-                "the env with sim_backend='xla' (the Pallas mega-kernel "
-                "dispatch has no batched-JVP rule)"
-            )
+        # any sim_backend works: the physics dispatch carries a custom_jvp
+        # (primal on the mega-kernel fast path, tangents through the XLA
+        # step — base_env._build_physics_dispatch)
         self.env = env
         self.config = config
         self.action_dim = env.action_dim

@@ -84,6 +84,82 @@ def run_episode(
     )
 
 
+def run_episode_device(
+    env,
+    planner_obj,
+    seed: int = 0,
+    max_steps: Optional[int] = None,
+) -> Dict[str, Any]:
+    """One receding-horizon episode run ENTIRELY on device: plan + step
+    fused into a single ``lax.scan``, so the control loop pays zero
+    host↔device round trips per step (the per-step sync through a remote
+    device link is what capped the replan rate at ~1 Hz). After success
+    the state freezes; steps-to-success comes from the scanned flags.
+
+    Returns the run_episode dict plus ``replan_hz`` (measured replanning
+    rate = control steps / wall time of the fused scan, post-compile).
+    """
+    import time
+
+    assert env.num_envs == 1, "MPC driver plans for a single env"
+    max_steps = max_steps or env.max_episode_steps or 50
+    env.reset(seed=seed)
+    ps0 = planner_obj.init(seed=seed)
+    st0 = env._state
+
+    step_one_b = jax.vmap(env._step_one)
+
+    def body(carry, _):
+        ps, state, done = carry
+        ps2, action, pinfo = planner_obj.plan_step(ps, _single(state))
+        state2, obs, reward, terminated, sinfo = step_one_b(
+            state, action[None]
+        )
+        succ = sinfo["success"][0]
+        # freeze after success (episode over; keep shapes static)
+        keep = lambda new, old: jax.tree.map(
+            lambda n, o: jnp.where(done, o, n), new, old
+        )
+        state2 = keep(state2, state)
+        ps2 = keep(ps2, ps)
+        out = dict(
+            action=jnp.where(done, jnp.zeros_like(action), action),
+            reward=jnp.where(done, 0.0, reward[0]),
+            success=succ | done,
+        )
+        return (ps2, state2, done | succ), out
+
+    @jax.jit
+    def episode(ps, state):
+        (_, final_state, done), out = jax.lax.scan(
+            body, (ps, state, jnp.asarray(False)), None, length=max_steps
+        )
+        return final_state, done, out
+
+    final_state, done, out = episode(ps0, st0)
+    jax.block_until_ready(done)
+    t0 = time.perf_counter()
+    final_state, done, out = episode(ps0, st0)
+    jax.block_until_ready(done)
+    wall = time.perf_counter() - t0
+
+    succ_flags = np.asarray(out["success"])
+    success = bool(succ_flags.any())
+    steps = int(np.argmax(succ_flags)) + 1 if success else max_steps
+    rewards = np.asarray(out["reward"])[:steps]
+    env._state = final_state
+    return dict(
+        success=success,
+        steps=steps,
+        episode_return=float(rewards.sum()),
+        actions=np.asarray(out["action"])[:steps],
+        rewards=rewards,
+        final_info={},
+        seed=seed,
+        replan_hz=max_steps / wall,
+    )
+
+
 def solve_task(
     env_id: str,
     planner: str = "mppi",
@@ -93,6 +169,7 @@ def solve_task(
     max_steps: Optional[int] = None,
     env_kwargs: Optional[dict] = None,
     mesh=None,
+    device_loop: bool = False,
 ) -> Dict[str, Any]:
     """Solve ``episodes`` seeded episodes of a registered task with receding-
     horizon MPC; returns success_rate + per-episode results."""
@@ -102,11 +179,12 @@ def solve_task(
     kwargs.update(env_kwargs or {})
     env = make(env_id, **kwargs)
     planner_obj = make_planner(env, planner, config, mesh=mesh)
+    runner = run_episode_device if device_loop else run_episode
     results = [
-        run_episode(env, planner_obj, seed=seed + i, max_steps=max_steps)
+        runner(env, planner_obj, seed=seed + i, max_steps=max_steps)
         for i in range(episodes)
     ]
-    return dict(
+    out = dict(
         env_id=env_id,
         planner=planner,
         success_rate=float(np.mean([r["success"] for r in results])),
@@ -114,3 +192,6 @@ def solve_task(
         mean_steps=float(np.mean([r["steps"] for r in results])),
         episodes=results,
     )
+    if device_loop:
+        out["replan_hz"] = float(np.mean([r["replan_hz"] for r in results]))
+    return out

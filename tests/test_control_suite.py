@@ -7,6 +7,8 @@ import maniskill_tpu as mst
 from maniskill_tpu.kinematics.mjcf import load_mjcf
 from maniskill_tpu.utils.assets import ASSET_DIR
 
+pytestmark = pytest.mark.slow  # long locomotion rollouts
+
 
 def test_mjcf_hopper_structure():
     m = load_mjcf(str(ASSET_DIR / "control/hopper.xml"))

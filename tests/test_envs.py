@@ -165,6 +165,7 @@ def test_nan_action_isolated():
     assert bool(jnp.isfinite(obs).all())
 
 
+@pytest.mark.slow  # one build+compile per registered env (51 envs)
 def test_all_registered_envs_run():
     """Every registered env instantiates and survives 5 random steps with
     finite obs/rewards (reference test_envs.py:21-137 runs every env x obs

@@ -13,6 +13,8 @@ import maniskill_tpu as mst
 from maniskill_tpu.physics import megakernel
 from maniskill_tpu.physics.engine import make_step_fn
 
+pytestmark = pytest.mark.slow  # interpret-mode Pallas equivalence, ~25 min
+
 
 @pytest.fixture(scope="module")
 def pick_env():

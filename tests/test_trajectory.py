@@ -8,6 +8,8 @@ import pytest
 import maniskill_tpu as mst
 from maniskill_tpu.trajectory import RecordEpisode, load_trajectories, replay_trajectory
 
+pytestmark = pytest.mark.slow  # h5 record/replay roundtrips
+
 
 def test_record_and_replay(tmp_path):
     env = mst.make("PushCube-v1", num_envs=2)

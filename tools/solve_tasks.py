@@ -31,6 +31,13 @@ TASKS = {
                               temperature=0.3),
     "PokeCube-v1": MPPIConfig(horizon=25, num_samples=2048, sigma=0.6,
                               temperature=0.3),
+    # cabinet: short horizon, wide exploration on the arm, steady base
+    "OpenCabinetDrawer-v1": MPPIConfig(
+        horizon=20, num_samples=2048,
+        sigma=np.array([0.2] + [0.5] * 10 + [0.15], np.float32),
+        temperature=0.2),
+    "TurnFaucet-v1": MPPIConfig(horizon=20, num_samples=2048, sigma=0.5,
+                                temperature=0.2),
 }
 
 
@@ -40,12 +47,16 @@ def main():
     for name in names:
         cfg = TASKS.get(name, MPPIConfig(horizon=25, num_samples=2048))
         t0 = time.time()
-        r = solve_task(name, planner="mppi", config=cfg, episodes=5, seed=0)
+        # device_loop: plan+step fused in one on-device scan — the replan
+        # rate is the real control frequency, not tunnel round-trips
+        r = solve_task(name, planner="mppi", config=cfg, episodes=5,
+                       seed=0, device_loop=True)
         wall = time.time() - t0
         results[name] = dict(
             success_rate=r["success_rate"],
             mean_steps=r["mean_steps"],
             mean_return=r["mean_return"],
+            replan_hz=round(r["replan_hz"], 2),
             horizon=cfg.horizon,
             num_samples=cfg.num_samples,
             episodes=5,
