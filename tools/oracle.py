@@ -88,7 +88,11 @@ def run_convergence(env_id: str, episodes: int, refine: int = 4):
 
     import maniskill_tpu as mst
     from maniskill_tpu.physics.model import SimParams
-    from maniskill_tpu.planners.mpc import make_planner, run_episode
+    from maniskill_tpu.planners.mpc import (
+        make_planner,
+        run_episode,
+        run_episode_device,
+    )
 
     env = mst.make(env_id, num_envs=1, obs_mode="none")
     p0 = env.model.params
@@ -99,7 +103,7 @@ def run_convergence(env_id: str, episodes: int, refine: int = 4):
     out = []
     K = 5  # early-horizon window for open-loop divergence (pre-chaos)
     for ep in range(episodes):
-        r = run_episode(env, planner, seed=ep, max_steps=50)
+        r = run_episode_device(env, planner, seed=ep, max_steps=50)
         actions = r["actions"]
         if len(actions) == 0:
             continue
@@ -111,7 +115,7 @@ def run_convergence(env_id: str, episodes: int, refine: int = 4):
         qp_b, fp_b, fq_b, s_b = _replay(env_fine, actions, seed=ep)
         # closed-loop: the planner's model stays coarse, the world is the
         # refined engine — does the plan still take the task to success?
-        r_fine = run_episode(env_fine, planner, seed=ep, max_steps=50)
+        r_fine = run_episode_device(env_fine, planner, seed=ep, max_steps=50)
         out.append(dict(
             episode=ep,
             steps=int(len(actions)),
@@ -143,6 +147,25 @@ def run_convergence(env_id: str, episodes: int, refine: int = 4):
         qpos_err_5=max((e["qpos_err_5"] for e in out), default=0.0),
         max_obj_pos_err=max((e["max_obj_pos_err"] for e in out), default=0.0),
         max_qpos_err=max((e["max_qpos_err"] for e in out), default=0.0),
+    )
+    # explicit tolerance verdict (BASELINE.json metric #1): the planner is
+    # solver-converged if (a) early-horizon open-loop divergence stays
+    # sub-mm/sub-centirad (before contact chaos amplifies) and (b) the
+    # closed-loop plan still succeeds on the 4x-refined world at >= the
+    # planned rate minus one episode. Full-horizon open-loop divergence is
+    # reported for transparency but not gated: contact-rich trajectories
+    # are chaotic (any timestep change exponentially separates paths — the
+    # same holds between two PhysX builds).
+    agg["tolerance"] = dict(
+        obj_pos_err_5_max=5e-3,
+        qpos_err_5_max=2e-2,
+        closedloop_drop_max=1.0 / max(len(out), 1),
+    )
+    agg["tolerance_pass"] = bool(
+        agg["obj_pos_err_5"] <= 5e-3
+        and agg["qpos_err_5"] <= 2e-2
+        and (agg["success_rate"] - agg["closedloop_refined_success_rate"])
+        <= 1.0 / max(len(out), 1) + 1e-9
     )
     return agg
 
