@@ -133,3 +133,100 @@ class FoldSuitcaseEnv(BaseEnv):
 
     def compute_normalized_dense_reward(self, state, action, info, ctx):
         return self.compute_dense_reward(state, action, info, ctx) / 5.0
+
+
+@register_env("FoldSuitcaseModels-v1", max_episode_steps=100)
+class FoldSuitcaseModelsEnv(FoldSuitcaseEnv):
+    """Per-env MODEL VARIETY (the reference's PartNet model sampling,
+    fold_suitcase.py:57 suitcase/box/laptop id lists): each sub-env holds a
+    differently-proportioned container — lid/base dims AND their in-body
+    offsets are SimState (geom_size + geom_pos), so the 4-model table
+    selects per env with zero recompiles. The hinge line stays fixed in
+    space; per-model base/lid extend from it. Per-model close fraction,
+    like the reference's per-model joint targets (:1052-1054)."""
+
+    # (name, base_half, lid_half, close_frac, open_range)
+    MODELS = [
+        ("suitcase", (0.13, 0.09, 0.015), (0.13, 0.09, 0.008), 0.25,
+         (1.85, 2.15)),
+        ("laptop", (0.15, 0.11, 0.008), (0.15, 0.11, 0.005), 0.15,
+         (1.7, 2.0)),
+        ("small_box", (0.09, 0.07, 0.02), (0.09, 0.07, 0.01), 0.3,
+         (1.9, 2.15)),
+        ("deep_case", (0.11, 0.08, 0.035), (0.11, 0.08, 0.008), 0.25,
+         (1.8, 2.1)),
+    ]
+
+    def _post_build(self):
+        super()._post_build()
+        self._lid_geom = self.model.geom_indices("suitcase:lid")[0]
+        self._base_geom = self.model.geom_indices("suitcase:base")[0]
+        self._hinge_x = self.suitcase_x + self.base_half[0]
+        self._bh_t = jnp.asarray([m[1] for m in self.MODELS])  # (M, 3)
+        self._lh_t = jnp.asarray([m[2] for m in self.MODELS])
+        self._frac_t = jnp.asarray([m[3] for m in self.MODELS])
+        self._open_t = jnp.asarray([m[4] for m in self.MODELS])
+
+    def _default_extras(self):
+        ex = super()._default_extras()
+        ex["model_id"] = jnp.zeros((), jnp.int32)
+        ex["target_qpos"] = jnp.asarray(self.target_qpos)
+        return ex
+
+    def _initialize_episode(self, state, key):
+        km, kq = jax.random.split(jax.random.fold_in(key, 7))
+        mid = jax.random.randint(km, (), 0, len(self.MODELS))
+        bh = self._bh_t[mid]
+        lh = self._lh_t[mid]
+        lo, hi = self._open_t[mid, 0], self._open_t[mid, 1]
+        q0 = jax.random.uniform(kq, (), minval=lo, maxval=hi)
+        i = self._lid_body
+        hx = self._hinge_x
+        sim = state.sim.replace(
+            qpos=state.sim.qpos.at[i].set(q0),
+            qvel=state.sim.qvel.at[i].set(0.0),
+        )
+        gs = sim.geom_size
+        gp = sim.geom_pos
+        gs = gs.at[self._lid_geom].set(lh)
+        gs = gs.at[self._base_geom].set(bh)
+        gp = gp.at[self._lid_geom].set(
+            jnp.stack([-lh[0], jnp.asarray(0.0), lh[2]])
+        )
+        # base extends backward from the fixed hinge line
+        gp = gp.at[self._base_geom].set(
+            jnp.stack([hx - bh[0], jnp.asarray(0.0), bh[2]])
+        )
+        sim = sim.replace(geom_size=gs, geom_pos=gp)
+        extras = dict(state.extras)
+        extras["model_id"] = mid
+        extras["target_qpos"] = self._frac_t[mid] * self.lid_qmax
+        return state.replace(sim=sim, extras=extras)
+
+    def _lid_tip_pos(self, ctx):
+        b = self._lid_body
+        lh = ctx.state.sim.geom_size[self._lid_geom]
+        off = jnp.stack([-2.0 * lh[0], jnp.asarray(0.0), lh[2]])
+        return ctx.body_pos[b] + quat_apply(ctx.body_quat[b], off)
+
+    def evaluate(self, state, ctx):
+        q = state.sim.qpos[self._lid_body]
+        qd = state.sim.qvel[self._lid_body]
+        close_enough = q <= state.extras["target_qpos"]
+        static = jnp.abs(qd) <= 0.37
+        return dict(
+            success=close_enough & static,
+            close_enough=close_enough,
+            lid_qpos=q,
+            model_id=state.extras["model_id"],
+        )
+
+    def compute_dense_reward(self, state, action, info, ctx):
+        lp = self._lid_tip_pos(ctx)
+        d = jnp.linalg.norm(ctx.tcp_pose.p - lp)
+        reaching = 1.0 - jnp.tanh(5.0 * d)
+        q = state.sim.qpos[self._lid_body]
+        tq = state.extras["target_qpos"]
+        frac_left = jnp.clip((q - tq) / (self.lid_qmax - tq), 0.0, 1.0)
+        reward = reaching + 2.0 * (1.0 - frac_left)
+        return jnp.where(info["success"], 5.0, reward)

@@ -135,19 +135,26 @@ def all_geom_poses(model: SceneModel, state: SimState, body_pos, body_quat):
 
     One static-gather + batched compose per body kind, then assembled back
     into geom order with static slices (scatter-free: dynamic-update-slice is
-    the slowest primitive on TPU)."""
-    offs_p, offs_q, by_kind = model._geom_pose_cache
+    the slowest primitive on TPU). Geom-in-body offsets are per-env STATE
+    (SimState.geom_pos/geom_quat) so each env can carry a differently-
+    proportioned model; they fall back to the static tables for legacy
+    states carrying None."""
+    offs_p_st, offs_q_st, by_kind = model._geom_pose_cache
     G = len(model.geoms)
     if G == 0:
         return jnp.zeros((0, 3)), jnp.zeros((0, 4))
+    offs_p = (state.geom_pos if state.geom_pos is not None
+              else jnp.asarray(offs_p_st))
+    offs_q = (state.geom_quat if state.geom_quat is not None
+              else jnp.asarray(offs_q_st))
     parts = {}  # geom_idx -> (pos (3,), quat (4,))
 
     def place(idxs, parent_p, parent_q):
         if not idxs:
             return
         ii = np.asarray(idxs)
-        op = jnp.asarray(offs_p[ii])
-        oq = jnp.asarray(offs_q[ii])
+        op = offs_p[ii]
+        oq = offs_q[ii]
         p = parent_p + quat_apply(parent_q, op)
         q = quat_mul(parent_q, oq)
         for pos_in_kind, gi in enumerate(idxs):

@@ -161,7 +161,7 @@ def supports(model: SceneModel) -> bool:
     nk = getattr(model, "n_kin", 0)
     G = len(model.geoms)
     tile = 4 * 1024  # one (8, 128) f32 tile per point-row at eb=1024
-    r_in = 5 * nq + 13 * F + 7 * nk + 3 * G + 7 * F + 4 * P
+    r_in = 5 * nq + 13 * F + 7 * nk + 10 * G + 7 * F + 4 * P
     r_out = 2 * nq + 13 * F + 7 * P + 10 * nb
     persistent = 14 * P          # cpos/cnrm/cdep/rel + lam/lamt carry+new
     transient = (n_all * 3 + 24) * _CHUNK
@@ -233,6 +233,8 @@ class _Plan:
         self.i_free_vel = take(6 * F)
         self.i_kin = take(7 * nk)
         self.i_gsize = take(3 * G)
+        self.i_gpos = take(3 * G)
+        self.i_gquat = take(4 * G)
         self.i_fmass = take(F)
         self.i_finertia = take(6 * F)  # unique symmetric comps, body frame
         self.i_lam = take(self.P)
@@ -268,6 +270,7 @@ def _pack(plan: _Plan, state: SimState, cmd: DriveCmd, K: int):
         state.qpos, state.qvel,
         state.free_pose.reshape(K, -1), state.free_vel.reshape(K, -1),
         state.kin_pose.reshape(K, -1), state.geom_size.reshape(K, -1),
+        state.geom_pos.reshape(K, -1), state.geom_quat.reshape(K, -1),
         state.free_mass.reshape(K, -1),
         state.free_inertia[..., [0, 0, 0, 1, 1, 2], [0, 1, 2, 1, 2, 2]]
         .reshape(K, -1),
@@ -354,11 +357,7 @@ def _build_kernel(plan: _Plan, n_substeps: int, eb: int = EB):
     free_mass = np.asarray(model.free_mass, np.float32)
     free_inertia = np.asarray(model.free_inertia, np.float32)
 
-    # geom static tables
-    goff_p = np.stack([g.offset_p for g in model.geoms]).astype(np.float32) \
-        if G else np.zeros((0, 3), np.float32)
-    goff_q = np.stack([g.offset_q for g in model.geoms]).astype(np.float32) \
-        if G else np.zeros((0, 4), np.float32)
+    # geom offsets now ride the input plane per env (SimState.geom_pos/quat)
     static_pose = np.asarray(model.static_pose, np.float32).reshape(-1, 7)
 
     d_n0_np = plan.ck * h / beta  # (P,) impulse gain
@@ -420,6 +419,8 @@ def _build_kernel(plan: _Plan, n_substeps: int, eb: int = EB):
         fvel0 = tuple(row(plan.i_free_vel[0] + i) for i in range(6 * F))
         kin = tuple(row(plan.i_kin[0] + i) for i in range(7 * nk))
         gsz = tuple(row(plan.i_gsize[0] + i) for i in range(3 * G))
+        gop = tuple(row(plan.i_gpos[0] + i) for i in range(3 * G))
+        goq = tuple(row(plan.i_gquat[0] + i) for i in range(4 * G))
         fmass = tuple(row(plan.i_fmass[0] + j) for j in range(F))
         fIc = tuple(row(plan.i_finertia[0] + i) for i in range(6 * F))
         if P > 0:
@@ -498,10 +499,13 @@ def _build_kernel(plan: _Plan, n_substeps: int, eb: int = EB):
                 vb_v.append(tvv)
 
             # ---------------- geom world poses ----------------
+            # per-env geom-in-body offsets ride the input plane (they are
+            # SimState, like geom_size — per-env model proportions)
             gpos, gquat = [], []
             for gi, g in enumerate(model.geoms):
-                op = goff_p[gi]
-                oq = goff_q[gi]
+                op = (gop[3 * gi], gop[3 * gi + 1], gop[3 * gi + 2])
+                oq = (goq[4 * gi], goq[4 * gi + 1], goq[4 * gi + 2],
+                      goq[4 * gi + 3])
                 if g.kind == BodyKind.ROBOT_LINK:
                     if g.body >= 0:
                         pp, pq = body_p[g.body], body_q[g.body]
@@ -523,10 +527,8 @@ def _build_kernel(plan: _Plan, n_substeps: int, eb: int = EB):
                     sp = static_pose[g.body]
                     pp = (one * sp[0], one * sp[1], one * sp[2])
                     pq = (one * sp[3], one * sp[4], one * sp[5], one * sp[6])
-                gpos.append(_add(pp, _qapply(pq, (one * op[0], one * op[1],
-                                                  one * op[2]))))
-                gquat.append(_qmul(pq, (one * oq[0], one * oq[1],
-                                        one * oq[2], one * oq[3])))
+                gpos.append(_add(pp, _qapply(pq, op)))
+                gquat.append(_qmul(pq, oq))
 
             # ---------------- narrowphase (all P points) ----------------
             # computed into (P, 8, 128) component stacks, mirroring the

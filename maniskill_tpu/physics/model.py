@@ -156,6 +156,13 @@ class SimState:
     # writing rows from a static asset table; physics/hulls.py).
     hull_verts: jnp.ndarray = None  # (n_hull, HULL_P, 3) contact cloud
     hull_faces: jnp.ndarray = None  # (n_hull, HULL_F, 4) planes [n, d]
+    # per-env geom-in-body offsets (round 3): together with geom_size this
+    # makes the whole collision LAYOUT per-env state — each env can hold a
+    # differently-proportioned articulated model (suitcase/laptop lid
+    # lengths, valve spoke angles …) with zero recompiles. Defaults come
+    # from GeomSpec.offset_p/offset_q.
+    geom_pos: jnp.ndarray = None  # (n_geoms, 3)
+    geom_quat: jnp.ndarray = None  # (n_geoms, 4)
 
 
 class PairDrive(NamedTuple):
@@ -378,6 +385,14 @@ class SceneModel:
             free_inertia=jnp.asarray(self.free_inertia),
             hull_verts=jnp.asarray(self.hull_verts0),
             hull_faces=jnp.asarray(self.hull_faces0),
+            geom_pos=jnp.asarray(
+                np.stack([g.offset_p for g in self.geoms]).astype(np.float32)
+                if self.geoms else np.zeros((0, 3), np.float32)
+            ),
+            geom_quat=jnp.asarray(
+                np.stack([g.offset_q for g in self.geoms]).astype(np.float32)
+                if self.geoms else np.zeros((0, 4), np.float32)
+            ),
         )
 
     def geom_indices(self, name: str):

@@ -60,3 +60,55 @@ def test_per_env_inertia_drives_gyroscopics():
     # isotropic: ω unchanged; anisotropic: precession changed ω direction
     assert np.allclose(w[0], [3.0, 3.0, 0.0], atol=5e-2), w[0]
     assert np.abs(w[1] - np.array([3.0, 3.0, 0.0])).max() > 0.3, w[1]
+
+
+def test_geom_offsets_are_state():
+    """Round-3: geom-in-body offsets are per-env SimState (geom_pos/quat) —
+    two envs with the same model hold DIFFERENTLY-PLACED geoms."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from maniskill_tpu.physics.engine import make_step_fn
+    from maniskill_tpu.physics.model import (
+        DriveCmd, SceneSpecBuilder, SimParams, box_geom, plane_geom,
+    )
+
+    b = SceneSpecBuilder(SimParams())
+    b.add_static_body("ground", np.array([0, 0, 0, 1, 0, 0, 0], np.float32),
+                      [plane_geom()])
+    bi = b.add_free_body(
+        "obj", 0.1, 0.1 * 0.02**2 * 2 / 3 * np.eye(3),
+        [box_geom([0.02, 0.02, 0.02])],
+    )
+    model = b.build()
+    gidx = model.geom_indices("obj")[0]
+    K = 2
+    s = model.batch_state(model.initial_state(), K)
+    # env 1 carries its box geom 4 cm above the body origin
+    s = s.replace(
+        free_pose=s.free_pose.at[:, bi, 2].set(0.1),
+        geom_pos=s.geom_pos.at[1, gidx, 2].set(0.04),
+    )
+    step = make_step_fn(model)
+    cmd = DriveCmd(jnp.zeros((K, 0)), jnp.zeros((K, 0)), jnp.zeros((K, 0)))
+    stepj = jax.jit(jax.vmap(lambda st, c: step(st, c, 1)))
+    for _ in range(120):
+        s = stepj(s, cmd)
+    z = np.asarray(s.free_pose[:, bi, 2])
+    # env 0 rests with body origin at 0.02; env 1's geom sits 4 cm high, so
+    # its body origin rests 4 cm LOWER (at -0.02)
+    np.testing.assert_allclose(z, [0.02, -0.02], atol=2e-3)
+
+
+def test_fold_suitcase_models_heterogeneous():
+    import numpy as np
+    import maniskill_tpu as mst
+
+    env = mst.make("FoldSuitcaseModels-v1", num_envs=4)
+    env.reset(seed=0)
+    mids = np.asarray(env._state.extras["model_id"])
+    sizes = np.asarray(env._state.sim.geom_size[:, env._lid_geom, 0])
+    assert len(set(mids.tolist())) >= 2
+    # per-env lid length follows the selected model
+    lh = np.array([m[2][0] for m in env.MODELS])
+    np.testing.assert_allclose(sizes, lh[mids], atol=1e-6)
