@@ -51,12 +51,21 @@ class CompositeController:
             self.force_limit[c.joint_indices] = c.force_limit
 
     def reset(self, qpos: jnp.ndarray) -> DriveCmd:
-        """Drive command from current qpos (all sub-controllers hold)."""
+        """Drive command from current qpos (all sub-controllers hold).
+        Gains are materialized per env so they can be changed at runtime
+        (BaseEnv.set_drive_properties — the reference's
+        ``ArticulationJoint.set_drive_property``); a reset restores the
+        controller-config values."""
         tq = jnp.asarray(qpos)
         return DriveCmd(
             target_qpos=tq,
-            target_qvel=jnp.zeros(self.nq),
-            qf=jnp.zeros(self.nq),
+            target_qvel=jnp.zeros_like(tq),
+            qf=jnp.zeros_like(tq),
+            kp=jnp.broadcast_to(jnp.asarray(self.kp), tq.shape),
+            kd=jnp.broadcast_to(jnp.asarray(self.kd), tq.shape),
+            force_limit=jnp.broadcast_to(
+                jnp.asarray(self.force_limit), tq.shape
+            ),
         )
 
     def set_action(

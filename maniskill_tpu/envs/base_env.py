@@ -669,6 +669,39 @@ class BaseEnv:
     def get_state(self) -> jnp.ndarray:
         return flatten_state_dict(self.get_state_dict())
 
+    def set_drive_properties(self, stiffness=None, damping=None,
+                             force_limit=None, joint_names=None,
+                             env_idx=None):
+        """Change PD drive gains at runtime (reference parity:
+        ``ArticulationJoint.set_drive_property``,
+        utils/structs/articulation_joint.py:25). Applies live — gains are
+        per-env DriveCmd state — and persists until the next episode reset
+        (which restores the controller-config gains).
+
+        joint_names: subset of robot joints (default: all); env_idx:
+        subset of envs (default: all)."""
+        cmd = self._state.cmd
+        names = list(self.model.robot.joint_names)
+        jidx = (np.arange(self.model.nq) if joint_names is None
+                else np.asarray([names.index(n) for n in joint_names]))
+        eidx = (np.arange(self.num_envs) if env_idx is None
+                else np.asarray(env_idx))
+
+        def upd(cur, val):
+            if val is None:
+                return cur
+            val = jnp.broadcast_to(
+                jnp.asarray(val, jnp.float32), (len(eidx), len(jidx))
+            )
+            return cur.at[np.ix_(eidx, jidx)].set(val)
+
+        cmd = cmd.replace(
+            kp=upd(cmd.kp, stiffness),
+            kd=upd(cmd.kd, damping),
+            force_limit=upd(cmd.force_limit, force_limit),
+        )
+        self._state = self._state.replace(cmd=cmd)
+
     # convenience ----------------------------------------------------------
     def sample_action(self, rng: np.random.RandomState):
         lo, hi = self.single_action_space

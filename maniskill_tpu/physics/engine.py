@@ -814,12 +814,18 @@ def make_step_fn(model: SceneModel):
             )
             tau_bias = jnp.sum(cols * suffix_sum(f_cori - f_grav), axis=-1)
 
-            # implicit PD drive (see module docstring)
+            # implicit PD drive (see module docstring); gains come from the
+            # command when set (runtime set_drive_property parity), else
+            # the static model gains
+            kp_d = cmd.kp if cmd.kp is not None else kp
+            kd_d = cmd.kd if cmd.kd is not None else kd
+            flim_d = (cmd.force_limit if cmd.force_limit is not None
+                      else force_limit)
             tau_drive = jnp.clip(
-                kp * (cmd.target_qpos - state.qpos)
-                + kd * (cmd.target_qvel - state.qvel),
-                -force_limit,
-                force_limit,
+                kp_d * (cmd.target_qpos - state.qpos)
+                + kd_d * (cmd.target_qvel - state.qvel),
+                -flim_d,
+                flim_d,
             )
             # joint-limit penalty
             low, high = qlim[:, 0], qlim[:, 1]
@@ -845,7 +851,7 @@ def make_step_fn(model: SceneModel):
             # explicit-only limit penalties explode on low-inertia dofs
             # (a 0.003 kg·m² faucet handle at k=4e3)
             diag = (
-                h * (kp * h + kd)
+                h * (kp_d * h + kd_d)
                 + h * joint_damping
                 + h * in_band * fr / fvreg
                 + in_viol * h * (params.joint_limit_stiffness * h

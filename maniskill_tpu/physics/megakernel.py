@@ -161,7 +161,7 @@ def supports(model: SceneModel) -> bool:
     nk = getattr(model, "n_kin", 0)
     G = len(model.geoms)
     tile = 4 * 1024  # one (8, 128) f32 tile per point-row at eb=1024
-    r_in = 5 * nq + 13 * F + 7 * nk + 10 * G + 7 * F + 4 * P
+    r_in = 8 * nq + 13 * F + 7 * nk + 10 * G + 7 * F + 4 * P
     r_out = 2 * nq + 13 * F + 7 * P + 10 * nb
     persistent = 14 * P          # cpos/cnrm/cdep/rel + lam/lamt carry+new
     transient = (n_all * 3 + 24) * _CHUNK
@@ -242,6 +242,9 @@ class _Plan:
         self.i_tq = take(nq)
         self.i_tv = take(nq)
         self.i_qf = take(nq)
+        self.i_kp = take(nq)
+        self.i_kd = take(nq)
+        self.i_flim = take(nq)
         self.R_in = off
 
         off = 0
@@ -277,6 +280,14 @@ def _pack(plan: _Plan, state: SimState, cmd: DriveCmd, K: int):
         state.contact_lam,
         state.contact_lam_t.transpose(0, 2, 1).reshape(K, -1),
         cmd.target_qpos, cmd.target_qvel, cmd.qf,
+        # runtime drive gains (broadcast the static model gains when the
+        # command carries none)
+        cmd.kp if cmd.kp is not None else jnp.broadcast_to(
+            jnp.asarray(plan.model.drive_kp), cmd.target_qpos.shape),
+        cmd.kd if cmd.kd is not None else jnp.broadcast_to(
+            jnp.asarray(plan.model.drive_kd), cmd.target_qpos.shape),
+        cmd.force_limit if cmd.force_limit is not None else jnp.broadcast_to(
+            jnp.asarray(plan.model.drive_force_limit), cmd.target_qpos.shape),
     ]
     flat = jnp.concatenate([p.astype(jnp.float32) for p in parts], axis=1)
     return flat.T.reshape(plan.R_in, K // 128, 128)
@@ -348,9 +359,7 @@ def _build_kernel(plan: _Plan, n_substeps: int, eb: int = EB):
         mass_b = np.asarray(spec.mass, np.float32)
         com_b = np.asarray(spec.com, np.float32)
         Icom_b = np.asarray(model.robot_inertia_com, np.float32)
-        kp = np.asarray(model.drive_kp, np.float32)
-        kd = np.asarray(model.drive_kd, np.float32)
-        flim = np.asarray(model.drive_force_limit, np.float32)
+        # drive gains ride the input plane per env (DriveCmd.kp/kd/flim)
         jdamp = np.asarray(spec.joint_damping, np.float32)
         jfric = np.asarray(spec.joint_friction, np.float32)
         qlim = np.asarray(model.robot_qlim, np.float32)
@@ -433,6 +442,9 @@ def _build_kernel(plan: _Plan, n_substeps: int, eb: int = EB):
         tq = tuple(row(plan.i_tq[0] + i) for i in range(nq))
         tv = tuple(row(plan.i_tv[0] + i) for i in range(nq))
         qf = tuple(row(plan.i_qf[0] + i) for i in range(nq))
+        kp_r = tuple(row(plan.i_kp[0] + i) for i in range(nq))
+        kd_r = tuple(row(plan.i_kd[0] + i) for i in range(nq))
+        flim_r = tuple(row(plan.i_flim[0] + i) for i in range(nq))
 
         def geom_size(g):
             return (gsz[3 * g], gsz[3 * g + 1], gsz[3 * g + 2])
@@ -1113,9 +1125,9 @@ def _build_kernel(plan: _Plan, n_substeps: int, eb: int = EB):
                     tau_bias = _dot(cols_w[k], St[k]) + _dot(cols_v[k], Sf[k])
                     # drives + limits
                     td = jnp.clip(
-                        float(kp[k]) * (tq[k] - qpos[k])
-                        + float(kd[k]) * (tv[k] - qvel[k]),
-                        -float(flim[k]), float(flim[k]),
+                        kp_r[k] * (tq[k] - qpos[k])
+                        + kd_r[k] * (tv[k] - qvel[k]),
+                        -flim_r[k], flim_r[k],
                     )
                     viol_lo = jnp.maximum(float(qlim[k, 0]) - qpos[k], 0.0)
                     viol_hi = jnp.maximum(qpos[k] - float(qlim[k, 1]), 0.0)
@@ -1131,7 +1143,7 @@ def _build_kernel(plan: _Plan, n_substeps: int, eb: int = EB):
                     rhs_vel[k] = r
                     rhs_pos[k] = r
                     dd = (
-                        h * (float(kp[k]) * h + float(kd[k]))
+                        h * (kp_r[k] * h + kd_r[k])
                         + h * float(jdamp[k]) + 1e-6
                         + h * in_band * float(jfric[k]) / fvreg
                         + in_viol * (h * (lim_k * h + lim_d))

@@ -192,11 +192,20 @@ class PairDrive(NamedTuple):
 class DriveCmd:
     """PD drive command produced by the controller layer, consumed by the
     physics step (reference analogue: PhysX joint drive targets set by
-    ``set_joint_drive_targets``, pd_joint_pos.py:69)."""
+    ``set_joint_drive_targets``, pd_joint_pos.py:69).
+
+    Drive GAINS are part of the command (round 3): per-env, runtime-settable
+    — the reference's ``ArticulationJoint.set_drive_property``
+    (articulation_joint.py:25) without rebuilds. ``None`` falls back to the
+    static model gains (legacy payloads); controllers materialize them at
+    reset, ``BaseEnv.set_drive_properties`` overwrites them live."""
 
     target_qpos: jnp.ndarray  # (nq,)
     target_qvel: jnp.ndarray  # (nq,)
     qf: jnp.ndarray  # (nq,) extra generalized force
+    kp: jnp.ndarray = None  # (nq,) drive stiffness
+    kd: jnp.ndarray = None  # (nq,) drive damping
+    force_limit: jnp.ndarray = None  # (nq,)
 
 
 class SceneModel:
