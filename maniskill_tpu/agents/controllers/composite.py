@@ -57,15 +57,24 @@ class CompositeController:
         ``ArticulationJoint.set_drive_property``); a reset restores the
         controller-config values."""
         tq = jnp.asarray(qpos)
+        # the scene qpos may extend past the robot's nq (articulated objects
+        # are merged after the robot in the forest, model.py merge order):
+        # those joints are undriven (kp=kd=0)
+        # (self.nq may have been widened to the scene nq post-merge, so pad
+        # relative to the gain arrays' own robot-sized length)
+        extra = tq.shape[-1] - len(self.kp)
+        kp = np.concatenate([self.kp, np.zeros(extra, np.float32)])
+        kd = np.concatenate([self.kd, np.zeros(extra, np.float32)])
+        fl = np.concatenate(
+            [self.force_limit, np.full(extra, 1e10, np.float32)]
+        )
         return DriveCmd(
             target_qpos=tq,
             target_qvel=jnp.zeros_like(tq),
             qf=jnp.zeros_like(tq),
-            kp=jnp.broadcast_to(jnp.asarray(self.kp), tq.shape),
-            kd=jnp.broadcast_to(jnp.asarray(self.kd), tq.shape),
-            force_limit=jnp.broadcast_to(
-                jnp.asarray(self.force_limit), tq.shape
-            ),
+            kp=jnp.broadcast_to(jnp.asarray(kp), tq.shape),
+            kd=jnp.broadcast_to(jnp.asarray(kd), tq.shape),
+            force_limit=jnp.broadcast_to(jnp.asarray(fl), tq.shape),
         )
 
     def set_action(

@@ -31,15 +31,25 @@ def _is_key(x) -> bool:
 
 
 def _to_numpy(x):
-    """Typed PRNG keys serialize via their raw key data."""
+    """Typed PRNG keys serialize via their raw key data.
+
+    Zero-size leaves (e.g. ``sim.hull_verts`` in a scene with no hulls)
+    carry no data but orbax refuses to serialize them — store a 1-byte
+    sentinel; restore-with-target reconstructs them from the template."""
     if _is_key(x):
         return np.asarray(jax.random.key_data(x))
-    return np.asarray(x)
+    arr = np.asarray(x)
+    if arr.size == 0:
+        return np.zeros(1, np.uint8)
+    return arr
 
 
 def _from_numpy(saved, like):
     if _is_key(like):
         return jax.random.wrap_key_data(jax.numpy.asarray(saved))
+    like_arr = np.asarray(like) if not hasattr(like, "shape") else like
+    if getattr(like_arr, "size", None) == 0:
+        return like  # zero-size leaf: no data, template is exact
     return saved
 
 

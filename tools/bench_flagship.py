@@ -69,6 +69,11 @@ def main():
         args.steps = min(args.steps, 20)
 
     results = {}
+    try:  # merge into prior chunked runs
+        with open("/root/repo/KERNEL_FPS.json") as f:
+            results = json.load(f)
+    except Exception:
+        pass
     for env_id in args.envs:
         probe = mst.make(env_id, num_envs=1)
         on_kernel = bool(megakernel.supports(probe.model))
