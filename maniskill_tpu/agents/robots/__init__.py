@@ -8,3 +8,4 @@ from .floating_gripper import FloatingPandaGripper  # noqa: F401
 from .unitree import UnitreeG1  # noqa: F401
 from .quadruped import AnymalC, UnitreeGo2  # noqa: F401
 from .realman import Realman  # noqa: F401
+from .widowx import WidowX250S, WidowX250SBridge  # noqa: F401

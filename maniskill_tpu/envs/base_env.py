@@ -141,6 +141,35 @@ class BaseEnv:
     SIM_FREQ = 100
     CONTROL_FREQ = 20
     max_episode_steps: Optional[int] = None  # set by registry
+    # greenscreen compositing (digital twins): camera uid -> (H, W, 3) uint8
+    # overlay image; segmentation ids in rgb_overlay_mask_ids are treated as
+    # background (reference rgb_always_overlay_objects)
+    rgb_overlay_images: Dict[str, Any] = {}
+    # body names forced onto the overlay even though they are dynamic
+    # (reference rgb_always_overlay_objects, e.g. the sink)
+    rgb_overlay_exclude_names: tuple = ()
+
+    def _overlay_keep_table(self) -> np.ndarray:
+        """(n_geoms+1,) bool: segmentation ids whose rendered pixels survive
+        greenscreen compositing (robot links + free bodies, minus
+        rgb_overlay_exclude_names). Index 0 = sky/background."""
+        if getattr(self, "_overlay_keep_cache", None) is None:
+            from ..physics.model import BodyKind
+
+            keep = np.zeros(len(self.model.geoms) + 1, bool)
+            for gi, g in enumerate(self.model.geoms):
+                if g.kind in (BodyKind.ROBOT_LINK, BodyKind.FREE) and (
+                    g.name not in self.rgb_overlay_exclude_names
+                ):
+                    keep[gi + 1] = True
+            self._overlay_keep_cache = keep
+        return self._overlay_keep_cache
+
+    def get_language_instruction(self):
+        """Natural-language task instruction, one per env (reference
+        ``get_language_instruction``, digital-twin/VLA eval surface).
+        None for tasks without one."""
+        return None
 
     def __init__(
         self,
@@ -508,6 +537,22 @@ class BaseEnv:
                 uid: cam.render(state.sim, ctx.body_pos, ctx.body_quat)
                 for uid, cam in self._sensors.items()
             }
+            # greenscreen compositing (digital-twin real2sim eval): keep
+            # robot-link and free-body pixels, composite everything else
+            # (tables, walls, sky) over the per-camera real-scene image.
+            # Reference: BaseDigitalTwinEnv rgb_overlay_paths +
+            # rgb_always_overlay_objects (digital_twins/base_env.py).
+            if self.rgb_overlay_images:
+                keep = jnp.asarray(self._overlay_keep_table())
+                for uid, overlay in self.rgb_overlay_images.items():
+                    if uid not in sensor_data or "rgb" not in sensor_data[uid]:
+                        continue
+                    d = sensor_data[uid]
+                    bg = ~keep[d["segmentation"].astype(jnp.int32)]
+                    d["rgb"] = jnp.where(
+                        bg[..., None], jnp.asarray(overlay, jnp.uint8),
+                        d["rgb"],
+                    )
             if self.obs_mode == "rgb":
                 obs["sensor_data"] = {
                     uid: dict(rgb=d["rgb"]) for uid, d in sensor_data.items()

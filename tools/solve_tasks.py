@@ -31,26 +31,42 @@ TASKS = {
                               temperature=0.3),
     "PokeCube-v1": MPPIConfig(horizon=25, num_samples=2048, sigma=0.6,
                               temperature=0.3),
-    # cabinet: short horizon, wide exploration on the arm, steady base
+    # cabinet (fetch: arm 7 + gripper 1 + body 3 + base 2 = 13): wide
+    # exploration on the arm, calm gripper/torso, steady base
     "OpenCabinetDrawer-v1": MPPIConfig(
         horizon=20, num_samples=2048,
-        sigma=np.array([0.2] + [0.5] * 10 + [0.15], np.float32),
+        sigma=np.array([0.5] * 7 + [0.15] + [0.1] * 3 + [0.1] * 2,
+                       np.float32),
         temperature=0.2),
     "TurnFaucet-v1": MPPIConfig(horizon=20, num_samples=2048, sigma=0.5,
                                 temperature=0.2),
 }
 
 
+MAX_STEPS = {
+    "PickCube-v1": 100,
+    "OpenCabinetDrawer-v1": 100,
+}
+
+
 def main():
     names = sys.argv[1:] or ["PushCube-v1", "PickCube-v1"]
     results = {}
+    try:  # merge into prior chunked runs
+        with open("/root/repo/MPC_RESULTS.json") as f:
+            results = json.load(f)
+    except Exception:
+        pass
     for name in names:
         cfg = TASKS.get(name, MPPIConfig(horizon=25, num_samples=2048))
         t0 = time.time()
         # device_loop: plan+step fused in one on-device scan — the replan
-        # rate is the real control frequency, not tunnel round-trips
+        # rate is the real control frequency, not tunnel round-trips.
+        # max_steps=2x the registered horizon (grasp-and-place runs need
+        # headroom past the TimeLimit; the recorded mean_steps shows which
+        # episodes would fit the registered limit)
         r = solve_task(name, planner="mppi", config=cfg, episodes=5,
-                       seed=0, device_loop=True)
+                       seed=0, device_loop=True, max_steps=MAX_STEPS.get(name))
         wall = time.time() - t0
         results[name] = dict(
             success_rate=r["success_rate"],
