@@ -107,3 +107,38 @@ class UnitreeGo2(_QuadrupedAgent):
     delta_action = 0.25
     base_link = "base"
     shank_links = ["FL_thigh_b", "FR_thigh_b", "RL_thigh_b", "RR_thigh_b"]
+
+
+@register_agent
+class UnitreeH1(_QuadrupedAgent):
+    """Unitree H1 humanoid (reference ``agents/robots/unitree_h1/h1.py``:
+    19 body joints, standing keyframe hips/ankles -0.4 knees 0.8, root z
+    0.975; ~47 kg). Primitive-capsule MJCF (assets/control/h1.xml);
+    physically-scaled gains for the implicit solver (reference kp=1e3
+    kd=1e2 are PhysX-iteration-scale)."""
+
+    uid = "unitree_h1"
+    mjcf_path = ASSET_DIR / "control/h1.xml"
+    leg_joint_names = [  # reference h1.py body_joints (all 19)
+        "left_hip_yaw_joint", "right_hip_yaw_joint", "torso_joint",
+        "left_hip_roll_joint", "right_hip_roll_joint",
+        "left_shoulder_pitch_joint", "right_shoulder_pitch_joint",
+        "left_hip_pitch_joint", "right_hip_pitch_joint",
+        "left_shoulder_roll_joint", "right_shoulder_roll_joint",
+        "left_knee_joint", "right_knee_joint",
+        "left_shoulder_yaw_joint", "right_shoulder_yaw_joint",
+        "left_ankle_joint", "right_ankle_joint",
+        "left_elbow_joint", "right_elbow_joint",
+    ]
+    standing_qpos = {
+        "left_hip_pitch_joint": -0.4, "right_hip_pitch_joint": -0.4,
+        "left_knee_joint": 0.8, "right_knee_joint": 0.8,
+        "left_ankle_joint": -0.4, "right_ankle_joint": -0.4,
+    }
+    standing_root_z = 0.0  # 0.975 baked into the MJCF
+    stiffness = 200.0
+    damping = 8.0
+    force_limit = 200.0
+    delta_action = 0.2
+    base_link = "pelvis"
+    shank_links = ["left_knee_link", "right_knee_link"]
