@@ -149,6 +149,11 @@ class MultiAgent:
             [np.full(t[0].nb, i, np.int32) for i, t in enumerate(trees)]
         )
 
+    def qpos_slice_of(self, i: int) -> slice:
+        """qpos/qvel slice of agent i in the merged forest."""
+        o = int(self._dof_offsets[i])
+        return slice(o, o + self.sub_agents[i].nq)
+
     def tcp_pose_of(self, i: int, ctx):
         """TCP pose of sub-agent i via its (prefixed) ee link frame."""
         return ctx.frame_pose(

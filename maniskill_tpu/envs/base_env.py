@@ -171,6 +171,14 @@ class BaseEnv:
         None for tasks without one."""
         return None
 
+    @property
+    def scene(self):
+        """Named object-struct views over the live state (reference
+        ManiSkillScene + utils/structs surface; maniskill_tpu/structs.py)."""
+        from ..structs import SceneView
+
+        return SceneView(self)
+
     def __init__(
         self,
         num_envs: int = 1,

@@ -158,3 +158,114 @@ class RotateCubeEnv(BaseEnv):
 
     def compute_normalized_dense_reward(self, state, action, info, ctx):
         return self.compute_dense_reward(state, action, info, ctx) / 4.0
+
+
+class TriFingerRotateCubeEnv(RotateCubeEnv):
+    """Goal-pose variant (reference ``envs/tasks/rotate_cube.py:59-259``
+    TriFingerRotateCubeLevelN): move the 6.5 cm cube to a sampled goal
+    pose whose distribution hardens with the level —
+    0: random table position; 1: + yaw; 2: fixed aerial (z=0.0825);
+    3: random aerial position; 4: full random aerial pose. Success =
+    position within goal_radius (2 cm) AND orientation within 0.1 rad.
+    """
+
+    difficulty_level = 0
+    goal_radius = 0.02
+    size = 0.065
+    cube_half_size = 0.0325
+    min_height = 0.0325
+    max_height = 0.1
+    radius_3d = 0.065 * np.sqrt(3) / 2
+    max_com_dist = 0.195 - 0.065 * np.sqrt(3) / 2
+
+    def _load_scene(self, builder: SceneSpecBuilder):
+        super()._load_scene(builder)
+        self.obj_goal = builder.add_kinematic_body("cube_goal")
+
+    def _default_extras(self):
+        return {}
+
+    def _update_extras(self, state, ctx):
+        return state
+
+    def _initialize_episode(self, state: EnvState, key) -> EnvState:
+        from ...math.rotations import random_quaternion
+
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        xy0 = jax.random.uniform(k1, (2,), minval=-0.02, maxval=0.02)
+        pose0 = jnp.concatenate(
+            [xy0, jnp.array([self.cube_half_size, 1.0, 0, 0, 0])])
+        # goal sampling per level (reference :175-215)
+        r = jnp.sqrt(jax.random.uniform(k2, ())) * self.max_com_dist
+        th = jax.random.uniform(k2, (), minval=0.0, maxval=2 * jnp.pi)
+        gx, gy = r * jnp.cos(th), r * jnp.sin(th)
+        lvl = self.difficulty_level
+        if lvl == 0:
+            gp = jnp.array([gx, gy, self.cube_half_size])
+            gq = jnp.array([1.0, 0, 0, 0])
+        elif lvl == 1:
+            gp = jnp.array([gx, gy, self.cube_half_size])
+            gq = random_quaternion(k3, lock_x=True, lock_y=True)
+        elif lvl == 2:
+            gp = jnp.array([0.0, 0.0, self.min_height + 0.05])
+            gq = jnp.array([1.0, 0, 0, 0])
+        elif lvl == 3:
+            gz = jax.random.uniform(k4, (), minval=self.min_height,
+                                    maxval=self.max_height)
+            gp = jnp.array([gx, gy, gz])
+            gq = jnp.array([1.0, 0, 0, 0])
+        else:
+            gz = jax.random.uniform(k4, (), minval=self.radius_3d,
+                                    maxval=self.max_height)
+            gp = jnp.array([gx, gy, gz])
+            gq = random_quaternion(k3)
+        sim = state.sim.replace(
+            free_pose=state.sim.free_pose.at[self.obj].set(pose0),
+            free_vel=jnp.zeros_like(state.sim.free_vel),
+            kin_pose=state.sim.kin_pose.at[self.obj_goal].set(
+                jnp.concatenate([gp, gq])),
+        )
+        return state.replace(sim=sim)
+
+    def evaluate(self, state: EnvState, ctx: TaskContext):
+        obj = ctx.actor_pose("cube")
+        goal = ctx.actor_pose("cube_goal")
+        pos_close = jnp.linalg.norm(obj.p - goal.p) < self.goal_radius
+        # quat angle difference (reference common.quat_diff_rad)
+        d = jnp.abs(jnp.sum(obj.q * goal.q))
+        ang = 2.0 * jnp.arccos(jnp.clip(d, 0.0, 1.0))
+        return dict(success=pos_close & (ang < 0.1))
+
+    def _get_obs_extra(self, state, ctx, info):
+        obs = dict(
+            goal_pos=ctx.actor_pose("cube_goal").p,
+            goal_q=ctx.actor_pose("cube_goal").q,
+        )
+        if "state" in self.obs_mode:
+            obs.update(obj_pose=ctx.actor_pose("cube").raw)
+        return obs
+
+    def compute_dense_reward(self, state, action, info, ctx):
+        # reference :265-320: finger-reach + weighted pos/rot progress
+        obj = ctx.actor_pose("cube")
+        goal = ctx.actor_pose("cube_goal")
+        tips = self._tip_positions(ctx)
+        reach = jnp.sum(1.0 - jnp.tanh(
+            5.0 * jnp.linalg.norm(tips - obj.p[None], axis=-1)))
+        pos_rew = 5.0 * (1.0 - jnp.tanh(5.0 * jnp.linalg.norm(obj.p - goal.p)))
+        d = jnp.abs(jnp.sum(obj.q * goal.q))
+        ang = 2.0 * jnp.arccos(jnp.clip(d, 0.0, 1.0))
+        rot_rew = 5.0 * (1.0 - jnp.tanh(ang))
+        reward = reach + pos_rew + rot_rew
+        return jnp.where(info["success"], 20.0, reward)
+
+    def compute_normalized_dense_reward(self, state, action, info, ctx):
+        return self.compute_dense_reward(state, action, info, ctx) / 20.0
+
+
+for _lvl in range(5):
+    register_env(f"TriFingerRotateCubeLevel{_lvl}-v1",
+                 max_episode_steps=250)(
+        type(f"TriFingerRotateCubeLevel{_lvl}Env",
+             (TriFingerRotateCubeEnv,), dict(difficulty_level=_lvl))
+    )

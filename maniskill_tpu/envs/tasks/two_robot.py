@@ -115,3 +115,145 @@ class TwoRobotPushCubeEnv(BaseEnv):
 
     def compute_normalized_dense_reward(self, state, action, info, ctx):
         return self.compute_dense_reward(state, action, info, ctx) / 8.0
+
+
+@register_env("TwoRobotPickCube-v1", max_episode_steps=100)
+class TwoRobotPickCubeEnv(BaseEnv):
+    """Reference ``two_robot_pick_cube.py:20``: the cube spawns within
+    reach of only the LEFT arm, the aerial goal within reach of only the
+    RIGHT arm — the arms must hand the cube over. Success = cube at goal
+    and the right arm static (:130-140)."""
+
+    SUPPORTED_ROBOTS = [("panda_wristcam", "panda_wristcam"),
+                        ("panda", "panda")]
+    DEFAULT_ROBOT = ("panda_wristcam", "panda_wristcam")
+
+    cube_half_size = 0.02
+    goal_thresh = 0.025
+
+    def _load_agent(self, builder: SceneSpecBuilder):
+        self.table_scene = TableSceneBuilder(self)
+        _, qpos = self.table_scene.robot_pose_and_qpos("panda")
+        poses = [
+            np.array([-0.615, -0.35, 0, 1, 0, 0, 0], np.float32),  # left
+            np.array([-0.615, 0.35, 0, 1, 0, 0, 0], np.float32),   # right
+        ]
+        self.agent.install(builder, poses, init_qpos=[qpos, qpos])
+
+    def _load_scene(self, builder: SceneSpecBuilder):
+        self.table_scene.build(builder)
+        half = self.cube_half_size
+        m = 1000.0 * (2 * half) ** 3
+        inertia = (2.0 / 3.0) * m * half * half * np.eye(3)
+        self.cube = builder.add_free_body(
+            "cube", m, inertia, [box_geom([half] * 3)]
+        )
+        self.goal_site = builder.add_kinematic_body("goal_site")
+
+    def _initialize_episode(self, state: EnvState, key) -> EnvState:
+        kc, kg = jax.random.split(key)
+        half = self.cube_half_size
+        # cube on the LEFT side (y < 0), goal in the air on the RIGHT
+        xy = jax.random.uniform(kc, (2,), minval=jnp.array([-0.1, -0.3]),
+                                maxval=jnp.array([0.1, -0.15]))
+        goal_xy = jax.random.uniform(kg, (2,),
+                                     minval=jnp.array([-0.1, 0.15]),
+                                     maxval=jnp.array([0.1, 0.3]))
+        goal_z = jax.random.uniform(kg, (), minval=0.15, maxval=0.3)
+        sim = state.sim.replace(
+            free_pose=state.sim.free_pose.at[self.cube].set(
+                jnp.concatenate([xy, jnp.array([half, 1.0, 0, 0, 0])])),
+            free_vel=state.sim.free_vel * 0.0,
+            kin_pose=state.sim.kin_pose.at[self.goal_site].set(
+                jnp.concatenate([goal_xy, goal_z[None],
+                                 jnp.array([1.0, 0, 0, 0])])),
+        )
+        return state.replace(sim=sim)
+
+    def evaluate(self, state, ctx):
+        placed = jnp.linalg.norm(
+            ctx.actor_pose("cube").p - ctx.actor_pose("goal_site").p
+        ) <= self.goal_thresh
+        # right arm joints are the second agent's slice
+        sl = self.agent.qpos_slice_of(1)
+        right_static = jnp.max(
+            jnp.abs(state.sim.qvel[..., sl])) <= 0.2
+        return dict(success=placed & right_static, is_obj_placed=placed,
+                    is_right_arm_static=right_static)
+
+    def _get_obs_extra(self, state, ctx, info):
+        obs = dict(
+            left_arm_tcp=self.agent.tcp_pose_of(0, ctx).raw,
+            right_arm_tcp=self.agent.tcp_pose_of(1, ctx).raw,
+            goal_pos=ctx.actor_pose("goal_site").p,
+        )
+        if "state" in self.obs_mode:
+            cube = ctx.actor_pose("cube")
+            obs.update(
+                cube_pose=cube.raw,
+                left_arm_tcp_to_cube_pos=cube.p
+                - self.agent.tcp_pose_of(0, ctx).p,
+                right_arm_tcp_to_cube_pos=cube.p
+                - self.agent.tcp_pose_of(1, ctx).p,
+            )
+        return obs
+
+    def compute_dense_reward(self, state, action, info, ctx):
+        # staged (reference :156-213): left reaches/brings cube toward the
+        # middle; right reaches the cube once central; then place at goal
+        cube = ctx.actor_pose("cube").p
+        goal = ctx.actor_pose("goal_site").p
+        ltcp = self.agent.tcp_pose_of(0, ctx).p
+        rtcp = self.agent.tcp_pose_of(1, ctx).p
+        left_reach = 1.0 - jnp.tanh(5.0 * jnp.linalg.norm(ltcp - cube))
+        to_middle = 1.0 - jnp.tanh(
+            5.0 * jnp.abs(cube[1] - 0.0))
+        right_reach = 1.0 - jnp.tanh(5.0 * jnp.linalg.norm(rtcp - cube))
+        in_middle = (jnp.abs(cube[1]) < 0.08).astype(jnp.float32)
+        place = 1.0 - jnp.tanh(5.0 * jnp.linalg.norm(cube - goal))
+        reward = (left_reach + to_middle
+                  + in_middle * (right_reach + 2.0 * place))
+        return jnp.where(info["success"], 8.0, reward)
+
+    def compute_normalized_dense_reward(self, state, action, info, ctx):
+        return self.compute_dense_reward(state, action, info, ctx) / 8.0
+
+
+@register_env("TwoRobotStackCube-v1", max_episode_steps=100)
+class TwoRobotStackCubeEnv(TwoRobotPushCubeEnv):
+    """Reference ``two_robot_stack_cube.py``: each arm can reach only its
+    own cube; they must cooperate to stack cube A (left side) on cube B
+    (right side) in the shared middle region."""
+
+    def _load_scene(self, builder: SceneSpecBuilder):
+        super()._load_scene(builder)
+
+    def evaluate(self, state, ctx):
+        half = self.cube_half_size
+        pa = ctx.actor_pose("cube_a").p
+        pb = ctx.actor_pose("cube_b").p
+        offset = pa - pb
+        xy_ok = jnp.linalg.norm(offset[:2]) <= 0.6 * half
+        z_ok = jnp.abs(offset[2] - 2 * half) <= 0.005
+        vel = jnp.linalg.norm(state.sim.free_vel)
+        static = vel < 0.25
+        stacked = xy_ok & z_ok
+        return dict(success=stacked & static, is_stacked=stacked)
+
+    def compute_dense_reward(self, state, action, info, ctx):
+        half = self.cube_half_size
+        pa = ctx.actor_pose("cube_a").p
+        pb = ctx.actor_pose("cube_b").p
+        ltcp = self.agent.tcp_pose_of(0, ctx).p
+        rtcp = self.agent.tcp_pose_of(1, ctx).p
+        middle = jnp.array([0.05, 0.0])
+        reach = (1.0 - jnp.tanh(5.0 * jnp.linalg.norm(ltcp - pa))) + (
+            1.0 - jnp.tanh(5.0 * jnp.linalg.norm(rtcp - pb)))
+        bring_b = 1.0 - jnp.tanh(5.0 * jnp.linalg.norm(pb[:2] - middle))
+        target = pb + jnp.array([0.0, 0.0, 2 * half])
+        stack_a = 1.0 - jnp.tanh(5.0 * jnp.linalg.norm(pa - target))
+        reward = reach + 2.0 * bring_b + 3.0 * stack_a
+        return jnp.where(info["success"], 10.0, reward)
+
+    def compute_normalized_dense_reward(self, state, action, info, ctx):
+        return self.compute_dense_reward(state, action, info, ctx) / 10.0

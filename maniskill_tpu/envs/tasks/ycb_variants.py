@@ -1,0 +1,309 @@
+"""YCB-flavored and fork-addition tail tasks.
+
+- ``PickSingleYCB-v1`` (reference ``tabletop/pick_single_ycb.py:27``):
+  per-sub-env heterogeneous object pickup. Registered over the hull
+  machinery of :class:`PickSingleHullEnv` — each env holds a DIFFERENT
+  convex object selected from the procedural YCB-silhouette library
+  (hulls stand in for the download-only YCB meshes; the heterogeneity
+  contract — per-env model selection without recompiles — is identical).
+- ``PickCubeYCB-v1`` (fork ``tabletop/pick_cube_ycb.py``): PickCube with
+  YCB-class clutter objects on the table as distractors.
+- ``TwoRobotPickCubeYCB-v1`` (fork): the two-robot handover pick with
+  the same clutter.
+- ``TwoRobotFold-v1`` (fork ``tabletop/two_robot_fold.py``): the
+  FoldSuitcase scene worked by two arms from opposite sides.
+- ``UnitreeG1PlaceAppleInBowl-v1`` (reference
+  ``humanoid/humanoid_pick_place.py``): the G1 upper body picks an apple
+  and places it in a bowl; success = apple within 5 cm of the bowl and
+  the hand withdrawn above it (:138-151).
+- ``FMBAssembly1Easy-v1`` (reference ``fmb/fmb.py``): place the bridge
+  beam onto the assembly board at the goal pose.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...physics.hulls import make_hull, _cylinder_pts, _frustum_pts
+from ...physics.model import SceneSpecBuilder, box_geom, plane_geom
+from ..base_env import BaseEnv, EnvState, TaskContext
+from ..registration import register_env
+from ..scene_builders import TableSceneBuilder
+from .pick_cube import PickCubeEnv
+from .pick_single_hull import PickSingleHullEnv
+from .fold_suitcase import FoldSuitcaseEnv
+from .two_robot import TwoRobotPickCubeEnv
+from .transport_box import TransportBoxEnv
+
+
+@register_env("PickSingleYCB-v1", max_episode_steps=50)
+class PickSingleYCBEnv(PickSingleHullEnv):
+    """The reference id for heterogeneous single-object pickup; see
+    module docstring for the hull-for-mesh substitution."""
+
+
+def _add_distractors(builder, n=2):
+    """YCB-silhouette clutter hulls (non-goal objects)."""
+    from ...physics.hulls import standard_object_library
+
+    lib = standard_object_library()
+    out = []
+    for i in range(n):
+        out.append(builder.add_free_hull(
+            f"distractor{i}", lib[(2 * i + 1) % len(lib)], density=600,
+            friction=0.5))
+    return out
+
+
+def _scatter_distractors(env, state, key, z=0.05):
+    sim = state.sim
+    for i, idx in enumerate(env.distractors):
+        k = jax.random.fold_in(key, 100 + i)
+        xy = jax.random.uniform(k, (2,),
+                                minval=jnp.array([-0.12, -0.25]),
+                                maxval=jnp.array([0.12, 0.25]))
+        pose = jnp.concatenate([xy, jnp.array([z + 0.03 * i]),
+                                jnp.array([1.0, 0, 0, 0])])
+        sim = sim.replace(
+            free_pose=sim.free_pose.at[idx].set(pose),
+            free_vel=sim.free_vel.at[idx].set(jnp.zeros(6)),
+        )
+    return state.replace(sim=sim)
+
+
+@register_env("PickCubeYCB-v1", max_episode_steps=50)
+class PickCubeYCBEnv(PickCubeEnv):
+    """Fork pick_cube_ycb.py: PickCube amid YCB-class clutter."""
+
+    def _load_scene(self, builder: SceneSpecBuilder):
+        super()._load_scene(builder)
+        self.distractors = _add_distractors(builder, n=2)
+
+    def _initialize_episode(self, state: EnvState, key) -> EnvState:
+        state = super()._initialize_episode(state, key)
+        return _scatter_distractors(self, state, key)
+
+
+@register_env("TwoRobotPickCubeYCB-v1", max_episode_steps=100)
+class TwoRobotPickCubeYCBEnv(TwoRobotPickCubeEnv):
+    """Fork two-robot handover pick with clutter."""
+
+    def _load_scene(self, builder: SceneSpecBuilder):
+        super()._load_scene(builder)
+        self.distractors = _add_distractors(builder, n=2)
+
+    def _initialize_episode(self, state: EnvState, key) -> EnvState:
+        state = super()._initialize_episode(state, key)
+        return _scatter_distractors(self, state, key)
+
+
+@register_env("TwoRobotFold-v1", max_episode_steps=50)
+class TwoRobotFoldEnv(FoldSuitcaseEnv):
+    """Fork two_robot_fold.py: the suitcase worked by two arms from
+    opposite table edges (same fold success criterion)."""
+
+    SUPPORTED_ROBOTS = [("panda", "panda"),
+                        ("panda_wristcam", "panda_wristcam")]
+    DEFAULT_ROBOT = ("panda", "panda")
+
+    def _load_agent(self, builder: SceneSpecBuilder):
+        self.table_scene = TableSceneBuilder(self)
+        _, qpos = self.table_scene.robot_pose_and_qpos("panda")
+        poses = [
+            np.array([-0.615, -0.35, 0, 1, 0, 0, 0], np.float32),
+            np.array([-0.615, 0.35, 0, 1, 0, 0, 0], np.float32),
+        ]
+        self.agent.install(builder, poses, init_qpos=[qpos, qpos])
+
+    def _get_obs_extra(self, state, ctx, info):
+        obs = dict(
+            left_arm_tcp=self.agent.tcp_pose_of(0, ctx).raw,
+            right_arm_tcp=self.agent.tcp_pose_of(1, ctx).raw,
+        )
+        if "state" in self.obs_mode:
+            obs["lid_qpos"] = state.sim.qpos[..., -1:]
+        return obs
+
+    def compute_dense_reward(self, state, action, info, ctx):
+        # close-fraction progress (the fold criterion both arms work on)
+        lid_q = state.sim.qpos[..., -1]
+        close = 1.0 - jnp.clip(lid_q / self.lid_qmax, 0.0, 1.0)
+        reward = 3.0 * close
+        return jnp.where(info["success"], 5.0, reward)
+
+    def compute_normalized_dense_reward(self, state, action, info, ctx):
+        return self.compute_dense_reward(state, action, info, ctx) / 5.0
+
+
+@register_env("UnitreeG1PlaceAppleInBowl-v1", max_episode_steps=100)
+class UnitreeG1PlaceAppleInBowlEnv(TransportBoxEnv):
+    """Reference humanoid_pick_place.py: apple -> bowl with the right
+    hand; success = apple within 5 cm of the bowl center and the hand
+    withdrawn above the rim (:138-151). Apple/bowl are procedural hulls
+    (the reference's .ply/.glb are download-only)."""
+
+    def _load_scene(self, builder: SceneSpecBuilder):
+        builder.add_static_body(
+            "ground", np.array([0, 0, 0, 1, 0, 0, 0], np.float32),
+            [plane_geom(friction=0.5)],
+        )
+        # one table in front of the robot
+        builder.add_static_body(
+            "table", np.array([0.35, 0, 0.7425, 1, 0, 0, 0], np.float32),
+            [box_geom([0.4, 0.6, 0.0075], friction=0.6)],
+        )
+        self._apple_hull = make_hull("apple", np.concatenate([
+            _frustum_pts(0.032, 0.02, 0.03, 8),
+            _frustum_pts(0.02, 0.032, 0.03, 8) * np.array([1, 1, -1]),
+        ]))
+        self._bowl_hull = make_hull("bowl", _frustum_pts(0.09, 0.06, 0.05, 10))
+        self.apple = builder.add_free_hull("apple", self._apple_hull,
+                                           density=500, friction=0.8)
+        self.bowl = builder.add_free_hull("bowl", self._bowl_hull,
+                                          density=300, friction=0.8)
+        hand_pat = ("hip", "knee", "ankle", "pelvis")
+        builder.exclude_groups(
+            [f"robot:*{p}*" for p in hand_pat] + ["robot:*torso*"],
+            ["apple", "bowl", "table", "ground"],
+        )
+
+    def _post_build(self):
+        self._is_grasping_apple = None  # G1 hand uses contact heuristic
+
+    def _initialize_episode(self, state: EnvState, key) -> EnvState:
+        ka, kb = jax.random.split(key)
+        table_top = 0.75
+        axy = jax.random.uniform(ka, (2,),
+                                 minval=jnp.array([0.25, -0.25]),
+                                 maxval=jnp.array([0.4, -0.1]))
+        bxy = jax.random.uniform(kb, (2,),
+                                 minval=jnp.array([0.25, 0.1]),
+                                 maxval=jnp.array([0.4, 0.25]))
+        az = table_top + float(self._apple_hull.aabb_half[2])
+        bz = table_top + float(self._bowl_hull.aabb_half[2])
+        sim = state.sim.replace(
+            free_pose=state.sim.free_pose
+            .at[self.apple].set(jnp.concatenate(
+                [axy, jnp.array([az, 1.0, 0, 0, 0])]))
+            .at[self.bowl].set(jnp.concatenate(
+                [bxy, jnp.array([bz, 1.0, 0, 0, 0])])),
+            free_vel=jnp.zeros_like(state.sim.free_vel),
+        )
+        return state.replace(sim=sim)
+
+    def evaluate(self, state: EnvState, ctx: TaskContext):
+        apple = ctx.actor_pose("apple").p
+        bowl = ctx.actor_pose("bowl").p
+        placed = jnp.linalg.norm(apple - bowl) <= 0.05
+        rtcp = ctx.frame_pose("right_palm_link").p
+        hand_out = rtcp[..., 2] > bowl[..., 2] + 0.125
+        return dict(success=placed & hand_out, is_obj_placed=placed,
+                    hand_outside_bowl=hand_out)
+
+    def _get_obs_extra(self, state, ctx, info):
+        obs = dict(
+            right_tcp_pose=ctx.frame_pose("right_palm_link").raw,
+        )
+        if "state" in self.obs_mode:
+            obs.update(
+                apple_pose=ctx.actor_pose("apple").raw,
+                bowl_pos=ctx.actor_pose("bowl").p,
+            )
+        return obs
+
+    def compute_dense_reward(self, state, action, info, ctx):
+        apple = ctx.actor_pose("apple").p
+        bowl = ctx.actor_pose("bowl").p
+        rtcp = ctx.frame_pose("right_palm_link").p
+        reach = 1.0 - jnp.tanh(5.0 * jnp.linalg.norm(rtcp - apple))
+        above = bowl + jnp.array([0.0, 0.0, 0.15])
+        carry = 1.0 - jnp.tanh(5.0 * jnp.linalg.norm(apple - above))
+        place = 1.0 - jnp.tanh(10.0 * jnp.linalg.norm(apple - bowl))
+        reward = reach + carry + 2.0 * place
+        return jnp.where(info["success"], 6.0, reward)
+
+    def compute_normalized_dense_reward(self, state, action, info, ctx):
+        return self.compute_dense_reward(state, action, info, ctx) / 6.0
+
+
+@register_env("FMBAssembly1Easy-v1", max_episode_steps=500)
+class FMBAssembly1EasyEnv(PickCubeEnv):
+    """Reference fmb/fmb.py FMBAssembly1Easy: place the bridge beam onto
+    the board at the goal pose (tolerance 5 mm, :174-180). The board and
+    beam are primitive solids (reference .glb are in-repo meshes)."""
+
+    beam_half = np.array([0.06, 0.015, 0.015], np.float32)
+    goal_thresh = 0.01
+
+    def _load_scene(self, builder: SceneSpecBuilder):
+        self.table_scene.build(builder)
+        bh = self.beam_half
+        m = 800.0 * 8 * float(np.prod(bh))
+        inertia = m / 3.0 * np.diag([
+            bh[1] ** 2 + bh[2] ** 2, bh[0] ** 2 + bh[2] ** 2,
+            bh[0] ** 2 + bh[1] ** 2])
+        self.beam = builder.add_free_body(
+            "bridge", m, inertia, [box_geom(bh, friction=0.8)]
+        )
+        # red board: a flat slab with two raised support pads the beam
+        # bridges across
+        builder.add_static_body(
+            "board", np.array([0.1, 0.1, 0.005, 1, 0, 0, 0], np.float32),
+            [
+                box_geom([0.11, 0.11, 0.005], friction=0.8),
+                box_geom([0.02, 0.03, 0.015],
+                         offset_p=[-0.05, 0.0, 0.02], friction=0.8),
+                box_geom([0.02, 0.03, 0.015],
+                         offset_p=[0.05, 0.0, 0.02], friction=0.8),
+            ],
+        )
+        self.goal_site = builder.add_kinematic_body("goal_site")
+
+    def _post_build(self):
+        self._is_grasping = self.agent.build_grasp_checker(
+            self.model, "bridge")
+
+    def _initialize_episode(self, state: EnvState, key) -> EnvState:
+        kb, _ = jax.random.split(key)
+        xy = jax.random.uniform(kb, (2,),
+                                minval=jnp.array([-0.15, -0.25]),
+                                maxval=jnp.array([0.0, -0.1]))
+        beam_pose = jnp.concatenate(
+            [xy, jnp.array([self.beam_half[2], 1.0, 0, 0, 0])])
+        # goal: bridging the two pads (board at [0.1, 0.1], pad tops at
+        # z = 0.005+0.02+0.015)
+        goal = jnp.array([0.1, 0.1, 0.04 + self.beam_half[2],
+                          1.0, 0, 0, 0])
+        sim = state.sim.replace(
+            free_pose=state.sim.free_pose.at[self.beam].set(beam_pose),
+            free_vel=jnp.zeros_like(state.sim.free_vel),
+            kin_pose=state.sim.kin_pose.at[self.goal_site].set(goal),
+        )
+        return state.replace(sim=sim)
+
+    def evaluate(self, state: EnvState, ctx: TaskContext):
+        beam = ctx.actor_pose("bridge").p
+        goal = ctx.actor_pose("goal_site").p
+        return dict(success=jnp.linalg.norm(beam - goal) < self.goal_thresh)
+
+    def _get_obs_extra(self, state, ctx, info):
+        obs = dict(tcp_pose=ctx.tcp_pose.raw)
+        if "state" in self.obs_mode:
+            obs.update(
+                bridge_pose=ctx.actor_pose("bridge").raw,
+                goal_pos=ctx.actor_pose("goal_site").p,
+            )
+        return obs
+
+    def compute_dense_reward(self, state, action, info, ctx):
+        beam = ctx.actor_pose("bridge").p
+        goal = ctx.actor_pose("goal_site").p
+        tcp = ctx.tcp_pose.p
+        reach = 1.0 - jnp.tanh(5.0 * jnp.linalg.norm(beam - tcp))
+        place = 1.0 - jnp.tanh(5.0 * jnp.linalg.norm(beam - goal))
+        reward = reach + 2.0 * place
+        return jnp.where(info["success"], 5.0, reward)
+
+    def compute_normalized_dense_reward(self, state, action, info, ctx):
+        return self.compute_dense_reward(state, action, info, ctx) / 5.0

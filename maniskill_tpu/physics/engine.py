@@ -1042,6 +1042,22 @@ def make_step_fn(model: SceneModel):
         if n_free > 0:
             u_new = u + dv_vel[nq:].reshape(n_free, 6)
             u_int = u + dv_pos[nq:].reshape(n_free, 6)
+
+            def _clamp_u(uu):
+                # PhysX-parity max velocities (see SimParams.max_ang_vel:
+                # the explicit gyro term diverges once |ω|h >> 1). Norms use
+                # the eps-inside-sqrt form: linalg.norm has a NaN gradient
+                # at exactly zero velocity, which poisons iLQR jacobians.
+                wn = jnp.sqrt(
+                    jnp.sum(uu[:, :3] ** 2, -1, keepdims=True) + 1e-18)
+                vn = jnp.sqrt(
+                    jnp.sum(uu[:, 3:] ** 2, -1, keepdims=True) + 1e-18)
+                ws = jnp.minimum(1.0, params.max_ang_vel / wn)
+                vs = jnp.minimum(1.0, params.max_lin_vel / vn)
+                return jnp.concatenate([uu[:, :3] * ws, uu[:, 3:] * vs], -1)
+
+            u_new = _clamp_u(u_new)
+            u_int = _clamp_u(u_int)
             ang_new, lin_new = u_new[:, :3], u_new[:, 3:]
             p_new = state.free_pose[:, :3] + h * u_int[:, 3:]
             q_new = quat_normalize(

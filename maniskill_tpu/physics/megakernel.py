@@ -1258,16 +1258,26 @@ def _build_kernel(plan: _Plan, n_substeps: int, eb: int = EB):
                 qpos_n.append(qpos[k] + h * (qvel[k] + dv_pos[k]))
             fpose_n = list(fpose)
             fvel_n = list(fvel)
+            max_w = float(params.max_ang_vel)
+            max_v = float(params.max_lin_vel)
+
+            def _vclamp(vec, cap):
+                # PhysX-parity velocity clamp (engine.py integration parity;
+                # guards the explicit-gyro blow-up at |ω|h >> 1)
+                n2 = vec[0] * vec[0] + vec[1] * vec[1] + vec[2] * vec[2]
+                s = jnp.minimum(1.0, cap * jax.lax.rsqrt(n2 + 1e-24))
+                return tuple(v * s for v in vec)
+
             for j in range(F):
                 o = nq + 6 * j
-                w_new = tuple(fvel[6 * j + 3 + c] + dv_vel[o + c]
-                              for c in range(3))
-                v_new = tuple(fvel[6 * j + c] + dv_vel[o + 3 + c]
-                              for c in range(3))
-                w_int = tuple(fvel[6 * j + 3 + c] + dv_pos[o + c]
-                              for c in range(3))
-                v_int = tuple(fvel[6 * j + c] + dv_pos[o + 3 + c]
-                              for c in range(3))
+                w_new = _vclamp(tuple(fvel[6 * j + 3 + c] + dv_vel[o + c]
+                                      for c in range(3)), max_w)
+                v_new = _vclamp(tuple(fvel[6 * j + c] + dv_vel[o + 3 + c]
+                                      for c in range(3)), max_v)
+                w_int = _vclamp(tuple(fvel[6 * j + 3 + c] + dv_pos[o + c]
+                                      for c in range(3)), max_w)
+                v_int = _vclamp(tuple(fvel[6 * j + c] + dv_pos[o + 3 + c]
+                                      for c in range(3)), max_v)
                 for c in range(3):
                     fpose_n[7 * j + c] = fpose[7 * j + c] + h * v_int[c]
                     fvel_n[6 * j + c] = v_new[c]

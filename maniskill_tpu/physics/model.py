@@ -115,6 +115,16 @@ class SimParams:
     joint_friction_vreg: float = 0.02  # rad/s (or m/s) regularization of
     # dry joint friction: τ_f = -f·clip(q̇/vreg, -1, 1), slope folded into
     # the LHS inside the stiction band
+    # free-body velocity clamps (PhysX parity: rigid bodies have
+    # maxLinearVelocity / maxAngularVelocity ~1e2, which the reference
+    # inherits). Without the angular clamp the EXPLICIT gyroscopic term is
+    # super-exponentially unstable once a violent contact kicks |ω|h >> 1
+    # (f32 rounding asymmetry of R·I·Rᵀ makes ω×I_wω ∝ |ω|² non-zero even
+    # for isotropic inertias) — observed as a 1-in-1e3-envs NaN blow-up
+    # under sustained random-action flailing.
+    max_lin_vel: float = 100.0  # m/s
+    max_ang_vel: float = 50.0  # rad/s (PhysX default maxAngularVelocity=100;
+    # 50 keeps |ω|·h ≤ 0.5 at h=10 ms, inside the explicit-gyro stable band)
 
 
 @struct.dataclass

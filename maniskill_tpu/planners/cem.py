@@ -64,6 +64,8 @@ class CEM:
                 )
             controls = jnp.clip(mean[None] + sigma[None] * noise, -1.0, 1.0)
             returns = jax.vmap(rollout, in_axes=(None, 0))(env_state, controls)
+            # a diverged rollout (non-finite return) must never be an elite
+            returns = jnp.where(jnp.isfinite(returns), returns, -jnp.inf)
             _, elite_idx = jax.lax.top_k(returns, cfg.num_elites)
             elites = controls[elite_idx]  # (E, H, A)
             new_mean = elites.mean(axis=0)

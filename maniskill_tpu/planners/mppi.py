@@ -29,6 +29,11 @@ class MPPIConfig(NamedTuple):
     temperature: float = 0.5  # softmax temperature λ
     gamma: float = 1.0  # reward discount
     shift_fill: str = "repeat"  # warm-start fill for the last step
+    # optional (H, A) initial nominal control sequence — a behavior prior
+    # for sparse-gradient scenes (e.g. "drive the base toward the
+    # workpiece" on mobile-manipulation tasks, where the reaching reward
+    # is flat beyond ~0.4 m and undirected exploration never finds it)
+    nominal_init: object = None
 
 
 class MPPIState(NamedTuple):
@@ -87,7 +92,11 @@ class MPPI:
                 env_state, controls
             )
             # importance weights (softmax over the global rollout axis; XLA
-            # inserts the cross-chip reductions when sharded)
+            # inserts the cross-chip reductions when sharded). A rollout
+            # that blew up (non-finite return) gets -inf weight instead of
+            # poisoning the whole softmax — simulator divergence on one
+            # violent sample must not kill the planner.
+            returns = jnp.where(jnp.isfinite(returns), returns, -jnp.inf)
             w = jax.nn.softmax(returns / cfg.temperature)
             nominal = jnp.einsum("k,khA->hA", w, controls)
             info = dict(
@@ -110,10 +119,13 @@ class MPPI:
         self._plan_step = jax.jit(plan_step)
 
     def init(self, seed: int = 0) -> MPPIState:
-        return MPPIState(
-            nominal=jnp.zeros((self.config.horizon, self.action_dim)),
-            key=jax.random.key(seed),
-        )
+        if self.config.nominal_init is not None:
+            nom = jnp.asarray(self.config.nominal_init, jnp.float32)
+            assert nom.shape == (self.config.horizon, self.action_dim), (
+                nom.shape, (self.config.horizon, self.action_dim))
+        else:
+            nom = jnp.zeros((self.config.horizon, self.action_dim))
+        return MPPIState(nominal=nom, key=jax.random.key(seed))
 
     def solve(self, planner_state: MPPIState, env_state):
         return self._solve(planner_state, env_state)

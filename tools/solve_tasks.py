@@ -19,6 +19,17 @@ sys.path.insert(0, "/root/repo")
 from maniskill_tpu.planners.mpc import solve_task
 from maniskill_tpu.planners.mppi import MPPIConfig
 
+def _cabinet_prior(h):
+    """Approach prior: drive the base forward at half speed with the
+    shoulder lowering — measured to bring the TCP from 1.0 m to ~0.45 m
+    of the handle (inside the tanh reaching gradient) in ~60 steps."""
+    nom = np.zeros((h, 13), np.float32)
+    nom[:, 11] = 0.5   # base forward
+    nom[:, 1] = 0.6    # shoulder lift (arm swings down/forward)
+    nom[:, 8] = -0.3   # torso down
+    return nom
+
+
 TASKS = {
     "PushCube-v1": MPPIConfig(horizon=20, num_samples=2048, sigma=0.6,
                               temperature=0.3),
@@ -32,12 +43,15 @@ TASKS = {
     "PokeCube-v1": MPPIConfig(horizon=25, num_samples=2048, sigma=0.6,
                               temperature=0.3),
     # cabinet (fetch: arm 7 + gripper 1 + body 3 + base 2 = 13): wide
-    # exploration on the arm, calm gripper/torso, steady base
+    # exploration on the arm, calm gripper/torso, mobile base free; the
+    # nominal warm start drives the base forward — the reaching reward is
+    # flat beyond ~0.4 m, so the approach must come from the prior
     "OpenCabinetDrawer-v1": MPPIConfig(
-        horizon=20, num_samples=2048,
-        sigma=np.array([0.5] * 7 + [0.15] + [0.1] * 3 + [0.1] * 2,
+        horizon=40, num_samples=2048,
+        sigma=np.array([0.4] * 7 + [0.15] + [0.1] * 3 + [0.2] * 2,
                        np.float32),
-        temperature=0.2),
+        temperature=0.2,
+        nominal_init=_cabinet_prior(40)),
     "TurnFaucet-v1": MPPIConfig(horizon=20, num_samples=2048, sigma=0.5,
                                 temperature=0.2),
 }
