@@ -122,7 +122,8 @@ class SimParams:
     # (f32 rounding asymmetry of R·I·Rᵀ makes ω×I_wω ∝ |ω|² non-zero even
     # for isotropic inertias) — observed as a 1-in-1e3-envs NaN blow-up
     # under sustained random-action flailing.
-    max_lin_vel: float = 100.0  # m/s
+    max_lin_vel: float = 25.0  # m/s (any legitimate tabletop/
+    # locomotion speed is <5; the cap bounds contact energy injection)
     max_ang_vel: float = 50.0  # rad/s (PhysX default maxAngularVelocity=100;
     # 50 keeps |ω|·h ≤ 0.5 at h=10 ms, inside the explicit-gyro stable band)
 

@@ -113,3 +113,20 @@ def test_ilqr_refines_mppi_nominal(push_env_xla, env_state0_xla):
                                         line_search_steps=4))
     U, info = planner.solve(env_state0, ps.nominal)
     assert float(info["final_cost"]) <= float(info["initial_cost"]) + 1e-6
+
+
+def test_mppi_nominal_init_prior():
+    """MPPIConfig.nominal_init seeds the first solve's nominal (behavior
+    prior for sparse-gradient scenes, e.g. the cabinet approach)."""
+    import numpy as np
+
+    import maniskill_tpu as mst
+    from maniskill_tpu.planners.mppi import MPPI, MPPIConfig
+
+    env = mst.make("PushCube-v1", num_envs=1, obs_mode="none")
+    env.reset(seed=0)
+    prior = np.full((6, env.action_dim), 0.25, np.float32)
+    planner = MPPI(env, MPPIConfig(horizon=6, num_samples=16,
+                                   nominal_init=prior))
+    ps = planner.init(seed=0)
+    assert np.allclose(np.asarray(ps.nominal), prior)
