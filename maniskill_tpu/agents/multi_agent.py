@@ -160,6 +160,28 @@ class MultiAgent:
             self.agent_prefix(i) + self.sub_agents[i].ee_link_name
         )
 
+    def build_grasp_checker_of(self, i: int, model, obj_name: str, **kw):
+        """Grasp checker for sub-agent i against the MERGED scene model
+        (reference ``self.left_agent.is_grasping(obj)`` in the two-robot
+        tasks). The sub-agent's checker resolves finger links through its
+        own ``robot_spec.link_index``; in the merged forest those links
+        live under the agent prefix, so delegate with a link-index shim
+        that maps the unprefixed names onto merged-forest indices."""
+        sub = self.sub_agents[i]
+        pre = self.agent_prefix(i)
+        merged = model.robot.link_index
+        shim = dc_replace(
+            sub.robot_spec,
+            link_index={k[len(pre):]: v for k, v in merged.items()
+                        if k.startswith(pre)},
+        )
+        orig = sub.robot_spec
+        sub.robot_spec = shim
+        try:
+            return sub.build_grasp_checker(model, obj_name, **kw)
+        finally:
+            sub.robot_spec = orig
+
 
 class _MultiController:
     """Composite-of-composites over the merged dof space."""

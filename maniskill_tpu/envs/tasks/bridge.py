@@ -491,7 +491,13 @@ class PutEggplantInBasketScene(BaseBridgeEnv):
         xy_flag = (jnp.abs(off[..., 0]) <= self.basin_half[0]) & (
             jnp.abs(off[..., 1]) <= self.basin_half[1]
         )
-        z_flag = off[..., 2] <= self.z_flag_required_offset + 0.06
+        # below rim level: positive offset above the basin floor (reference
+        # z_flag offset_z > 0) AND the eggplant body actually inside the
+        # basin — its center no higher than one half-extent above the
+        # counter-top plane (z=0), so a grasped eggplant hovering over the
+        # basin does not count
+        half_z = float(self._hulls["eggplant"].aabb_half[2])
+        z_flag = (off[..., 2] > 0.0) & (src_p[..., 2] <= half_z + 0.005)
         grasped = state.extras["is_src_obj_grasped"]
         success = xy_flag & z_flag
         return dict(

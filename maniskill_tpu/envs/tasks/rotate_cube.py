@@ -196,8 +196,9 @@ class TriFingerRotateCubeEnv(RotateCubeEnv):
         pose0 = jnp.concatenate(
             [xy0, jnp.array([self.cube_half_size, 1.0, 0, 0, 0])])
         # goal sampling per level (reference :175-215)
-        r = jnp.sqrt(jax.random.uniform(k2, ())) * self.max_com_dist
-        th = jax.random.uniform(k2, (), minval=0.0, maxval=2 * jnp.pi)
+        kr, kth = jax.random.split(k2)
+        r = jnp.sqrt(jax.random.uniform(kr, ())) * self.max_com_dist
+        th = jax.random.uniform(kth, (), minval=0.0, maxval=2 * jnp.pi)
         gx, gy = r * jnp.cos(th), r * jnp.sin(th)
         lvl = self.difficulty_level
         if lvl == 0:

@@ -189,8 +189,9 @@ class _RotateValveLevelEnv(BaseEnv):
             scale = jax.random.uniform(kl, (H,), minval=0.8, maxval=1.2)
             base = base.at[:, 0].mul(scale)
         if self.random_heads:
-            n = jax.random.randint(kh, (), self.min_heads, H + 1)
-            order = jax.random.permutation(kh, H)
+            kn, kperm = jax.random.split(kh)
+            n = jax.random.randint(kn, (), self.min_heads, H + 1)
+            order = jax.random.permutation(kperm, H)
             active = (jnp.argsort(order) < n)
             base = jnp.where(active[:, None], base,
                              jnp.full((H, 3), 1e-3))

@@ -62,8 +62,9 @@ class StackCubeEnv(BaseEnv):
         # away from A inside the region
         radius = float(np.sqrt(2) * half) + 0.001
         a_off = jax.random.uniform(k2, (2,), minval=-0.1, maxval=0.1)
-        ang = jax.random.uniform(k3, (), minval=-jnp.pi, maxval=jnp.pi)
-        dist = jax.random.uniform(k3, (), minval=radius, maxval=0.10)
+        kang, kdist = jax.random.split(k3)
+        ang = jax.random.uniform(kang, (), minval=-jnp.pi, maxval=jnp.pi)
+        dist = jax.random.uniform(kdist, (), minval=radius, maxval=0.10)
         b_off = a_off + dist * jnp.array([jnp.cos(ang), jnp.sin(ang)])
         b_off = jnp.clip(b_off, -0.1, 0.2)
         yaw_a = jax.random.uniform(k4, (), minval=-jnp.pi, maxval=jnp.pi)

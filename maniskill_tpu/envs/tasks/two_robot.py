@@ -25,6 +25,9 @@ class TwoRobotPushCubeEnv(BaseEnv):
 
     goal_radius = 0.08
     cube_half_size = 0.02
+    # the push task's cubes never need to touch; the stack subclass MUST
+    # let them collide (cube A rests on cube B)
+    _exclude_cube_pair = True
 
     def _load_agent(self, builder: SceneSpecBuilder):
         self.table_scene = TableSceneBuilder(self)
@@ -47,7 +50,8 @@ class TwoRobotPushCubeEnv(BaseEnv):
             "cube_b", m, inertia, [box_geom([half] * 3)]
         )
         self.goal_region = builder.add_kinematic_body("goal_region")
-        builder.exclude_pair("cube_a", "cube_b")
+        if self._exclude_cube_pair:
+            builder.exclude_pair("cube_a", "cube_b")
 
     def _initialize_episode(self, state: EnvState, key) -> EnvState:
         ka, kb = jax.random.split(key)
@@ -156,10 +160,11 @@ class TwoRobotPickCubeEnv(BaseEnv):
         # cube on the LEFT side (y < 0), goal in the air on the RIGHT
         xy = jax.random.uniform(kc, (2,), minval=jnp.array([-0.1, -0.3]),
                                 maxval=jnp.array([0.1, -0.15]))
-        goal_xy = jax.random.uniform(kg, (2,),
+        kgxy, kgz = jax.random.split(kg)
+        goal_xy = jax.random.uniform(kgxy, (2,),
                                      minval=jnp.array([-0.1, 0.15]),
                                      maxval=jnp.array([0.1, 0.3]))
-        goal_z = jax.random.uniform(kg, (), minval=0.15, maxval=0.3)
+        goal_z = jax.random.uniform(kgz, (), minval=0.15, maxval=0.3)
         sim = state.sim.replace(
             free_pose=state.sim.free_pose.at[self.cube].set(
                 jnp.concatenate([xy, jnp.array([half, 1.0, 0, 0, 0])])),
@@ -222,37 +227,68 @@ class TwoRobotPickCubeEnv(BaseEnv):
 @register_env("TwoRobotStackCube-v1", max_episode_steps=100)
 class TwoRobotStackCubeEnv(TwoRobotPushCubeEnv):
     """Reference ``two_robot_stack_cube.py``: each arm can reach only its
-    own cube; they must cooperate to stack cube A (left side) on cube B
-    (right side) in the shared middle region."""
+    own cube; they must cooperate to bring cube B to the middle goal and
+    stack cube A on it. Success (ref :178-193) = cube A on cube B, cube B
+    in the goal region, and BOTH cubes released (not grasped)."""
 
-    def _load_scene(self, builder: SceneSpecBuilder):
-        super()._load_scene(builder)
+    _exclude_cube_pair = False  # cube A must be able to rest on cube B
+
+    def _post_build(self):
+        self._is_grasping_a = self.agent.build_grasp_checker_of(
+            0, self.model, "cube_a")
+        self._is_grasping_b = self.agent.build_grasp_checker_of(
+            1, self.model, "cube_b")
 
     def evaluate(self, state, ctx):
         half = self.cube_half_size
         pa = ctx.actor_pose("cube_a").p
         pb = ctx.actor_pose("cube_b").p
+        goal = ctx.actor_pose("goal_region").p
         offset = pa - pb
         xy_ok = jnp.linalg.norm(offset[:2]) <= 0.6 * half
         z_ok = jnp.abs(offset[2] - 2 * half) <= 0.005
-        vel = jnp.linalg.norm(state.sim.free_vel)
-        static = vel < 0.25
         stacked = xy_ok & z_ok
-        return dict(success=stacked & static, is_stacked=stacked)
+        b_placed = jnp.linalg.norm(pb[:2] - goal[:2]) < self.goal_radius
+        f_pt = ctx.contact_forces()
+        grasped_a = self._is_grasping_a(ctx.body_quat, f_pt)
+        grasped_b = self._is_grasping_b(ctx.body_quat, f_pt)
+        return dict(
+            success=stacked & b_placed & (~grasped_a) & (~grasped_b),
+            is_cubeA_on_cubeB=stacked,
+            cubeB_placed=b_placed,
+            is_cubeA_grasped=grasped_a,
+            is_cubeB_grasped=grasped_b,
+        )
 
     def compute_dense_reward(self, state, action, info, ctx):
         half = self.cube_half_size
         pa = ctx.actor_pose("cube_a").p
         pb = ctx.actor_pose("cube_b").p
+        goal = ctx.actor_pose("goal_region").p
         ltcp = self.agent.tcp_pose_of(0, ctx).p
         rtcp = self.agent.tcp_pose_of(1, ctx).p
-        middle = jnp.array([0.05, 0.0])
+        # stage 1 (ref :215-237): both arms reach + left grasps cube A
         reach = (1.0 - jnp.tanh(5.0 * jnp.linalg.norm(ltcp - pa))) + (
             1.0 - jnp.tanh(5.0 * jnp.linalg.norm(rtcp - pb)))
-        bring_b = 1.0 - jnp.tanh(5.0 * jnp.linalg.norm(pb[:2] - middle))
+        ga = info["is_cubeA_grasped"].astype(jnp.float32)
+        gb = info["is_cubeB_grasped"].astype(jnp.float32)
+        reward = (reach + ga + gb) / 2.0
+        # stage 2 (ref :240-268): bring cube B to the goal region
+        bring_b = 1.0 - jnp.tanh(
+            5.0 * jnp.linalg.norm(pb[:2] - goal[:2]))
+        reward = jnp.where(info["is_cubeA_grasped"],
+                           2.0 + bring_b, reward)
+        # stage 3: cube B placed -> stack A on top
         target = pb + jnp.array([0.0, 0.0, 2 * half])
         stack_a = 1.0 - jnp.tanh(5.0 * jnp.linalg.norm(pa - target))
-        reward = reach + 2.0 * bring_b + 3.0 * stack_a
+        reward = jnp.where(
+            info["cubeB_placed"] & info["is_cubeA_grasped"],
+            4.0 + stack_a, reward)
+        # stage 4 (ref :271-286): stacked -> both release
+        ungrasp = 2.0 - ga - gb
+        reward = jnp.where(
+            info["is_cubeA_on_cubeB"] & info["cubeB_placed"],
+            8.0 + ungrasp / 2.0, reward)
         return jnp.where(info["success"], 10.0, reward)
 
     def compute_normalized_dense_reward(self, state, action, info, ctx):

@@ -39,10 +39,12 @@ from .registration import register_env
 from .scene_builders import TableSceneBuilder
 
 
-# To ship the task, uncomment the decorator and pick a unique id.
+# The template ships REGISTERED under the reference's template id
+# (``envs/template.py:42`` registers "CustomEnv-v1") so `mst.make` can
+# instantiate it directly; rename id + class when authoring a real task.
 # ``max_episode_steps`` feeds the TimeLimit wrapper exactly like the
 # reference's ``register_env(..., max_episode_steps=...)``.
-# @register_env("MyTask-v1", max_episode_steps=50)
+@register_env("CustomEnv-v1", max_episode_steps=200)
 class MyTaskEnv(BaseEnv):
     """One-line description of the task.
 
@@ -115,9 +117,10 @@ class MyTaskEnv(BaseEnv):
         half = self.cube_half_size
         xy = jax.random.uniform(k_obj, (2,), minval=-0.1, maxval=0.1)
         obj_pose = jnp.concatenate([xy, jnp.array([half, 1.0, 0, 0, 0])])
+        k_gxy, k_gz = jax.random.split(k_goal)
         goal_xyz = jnp.concatenate([
-            jax.random.uniform(k_goal, (2,), minval=-0.1, maxval=0.1),
-            jax.random.uniform(k_goal, (1,), minval=0.1, maxval=0.3),
+            jax.random.uniform(k_gxy, (2,), minval=-0.1, maxval=0.1),
+            jax.random.uniform(k_gz, (1,), minval=0.1, maxval=0.3),
         ])
         goal_pose = jnp.concatenate([goal_xyz, jnp.array([1.0, 0, 0, 0])])
         sim = state.sim.replace(

@@ -30,17 +30,51 @@ def _is_key(x) -> bool:
     )
 
 
+# magic prefix of the zero-size-leaf sentinel; the payload after it is a
+# JSON {"shape": [...], "dtype": "..."} so TARGETLESS restores can rebuild
+# the original empty array exactly (not just restores-with-template)
+_EMPTY_MAGIC = np.frombuffer(b"MST0EMPTY:", np.uint8)
+
+
+def _encode_empty(arr: np.ndarray) -> np.ndarray:
+    import json
+
+    desc = json.dumps(
+        {"shape": list(arr.shape), "dtype": str(arr.dtype)}
+    ).encode()
+    return np.concatenate([_EMPTY_MAGIC, np.frombuffer(desc, np.uint8)])
+
+
+def _maybe_decode_empty(saved):
+    """If ``saved`` is a zero-size sentinel, return the reconstructed empty
+    array; else None."""
+    import json
+
+    s = np.asarray(saved)
+    n = _EMPTY_MAGIC.size
+    if (
+        s.dtype == np.uint8
+        and s.ndim == 1
+        and s.size > n
+        and np.array_equal(s[:n], _EMPTY_MAGIC)
+    ):
+        meta = json.loads(bytes(s[n:]).decode())
+        return np.zeros(tuple(meta["shape"]), np.dtype(meta["dtype"]))
+    return None
+
+
 def _to_numpy(x):
     """Typed PRNG keys serialize via their raw key data.
 
     Zero-size leaves (e.g. ``sim.hull_verts`` in a scene with no hulls)
-    carry no data but orbax refuses to serialize them — store a 1-byte
-    sentinel; restore-with-target reconstructs them from the template."""
+    carry no data but orbax refuses to serialize them — store a tagged
+    sentinel encoding the original shape/dtype; both targeted and
+    targetless restores reconstruct the empty array from it."""
     if _is_key(x):
         return np.asarray(jax.random.key_data(x))
     arr = np.asarray(x)
     if arr.size == 0:
-        return np.zeros(1, np.uint8)
+        return _encode_empty(arr)
     return arr
 
 
@@ -51,6 +85,14 @@ def _from_numpy(saved, like):
     if getattr(like_arr, "size", None) == 0:
         return like  # zero-size leaf: no data, template is exact
     return saved
+
+
+def _decode_targetless(saved_tree):
+    def dec(x):
+        empty = _maybe_decode_empty(x)
+        return x if empty is None else empty
+
+    return jax.tree.map(dec, saved_tree)
 
 
 def save(path: str, tree: Any):
@@ -74,12 +116,12 @@ def restore(path: str, target: Any = None) -> Any:
         if target is not None:
             saved = ckpt.restore(path, item=jax.tree.map(_to_numpy, target))
             return jax.tree.map(_from_numpy, saved, target)
-        return ckpt.restore(path)
+        return _decode_targetless(ckpt.restore(path))
     with open(path + ".pkl", "rb") as f:
         saved = pickle.load(f)
     if target is not None:
         return jax.tree.map(_from_numpy, saved, target)
-    return saved
+    return _decode_targetless(saved)
 
 
 def save_env(path: str, env):

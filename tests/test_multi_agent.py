@@ -51,3 +51,37 @@ def test_cross_robot_collision_candidates_exist():
             tj = model.tree_id[gj.body] if gj.body >= 0 else -1
             cross += 1
     assert cross > 0
+
+
+def test_two_robot_stack_cubes_collide_and_success_semantics():
+    """ADVICE r3 (high): the stack task must let cube A rest on cube B
+    (no exclude_pair) and success requires BOTH cubes released. Also a
+    regression guard for the box-box impact bounce (a dropped cube must
+    settle, not launch)."""
+    import jax.numpy as jnp
+
+    env = mst.make("TwoRobotStackCube-v1", num_envs=1)
+    env.reset(seed=0)
+    s = env._state
+    ia = env.model.free_index["cube_a"]
+    ib = env.model.free_index["cube_b"]
+    goal = np.asarray(s.sim.kin_pose[0, env.model.kin_index["goal_region"], :2])
+    fp = s.sim.free_pose
+    # drop A straight onto B at the goal position
+    fp = fp.at[:, ia, :3].set(jnp.asarray([[goal[0], goal[1], 0.075]]))
+    fp = fp.at[:, ia, 3:].set(jnp.asarray([[1.0, 0, 0, 0]]))
+    fp = fp.at[:, ib, :3].set(jnp.asarray([[goal[0], goal[1], 0.02]]))
+    fp = fp.at[:, ib, 3:].set(jnp.asarray([[1.0, 0, 0, 0]]))
+    env._state = s.replace(
+        sim=s.sim.replace(free_pose=fp, free_vel=s.sim.free_vel * 0.0))
+    a = np.zeros((1, env.action_dim), np.float32)
+    info = None
+    for _ in range(25):
+        _, _, _, _, info = env.step(a)
+    pa = np.asarray(env._state.sim.free_pose[0, ia, :3])
+    pb = np.asarray(env._state.sim.free_pose[0, ib, :3])
+    # cube A rests ON cube B (would interpenetrate with the old exclude)
+    assert pa[2] > pb[2] + 0.03, (pa, pb)
+    assert pb[2] < 0.035, pb  # B still on the table, not launched
+    assert bool(np.asarray(info["success"])[0])
+    assert not bool(np.asarray(info["is_cubeA_grasped"])[0])
