@@ -17,9 +17,21 @@ import jax as _jax
 # sequential graphs whose (remote) TPU compiles take minutes — cache them
 # across processes. Opt out with MANISKILL_TPU_NO_CACHE=1.
 if not _os.environ.get("MANISKILL_TPU_NO_CACHE"):
+    import sys as _sys
+
+    # the axon-site environment compiles CPU executables with different
+    # target features (+prefer-no-scatter …) than a bare environment; its
+    # cached AOT artifacts MIS-EXECUTE when loaded bare (observed: wrong
+    # contact impulses). Keep per-environment caches.
+    _axon = any(".axon_site" in p for p in _sys.path) or (
+        ".axon_site" in _os.environ.get("PYTHONPATH", "")
+    )
     _cache_dir = _os.environ.get(
         "MANISKILL_TPU_CACHE_DIR",
-        _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "..", ".jax_cache"),
+        _os.path.join(
+            _os.path.dirname(_os.path.abspath(__file__)), "..",
+            ".jax_cache" if _axon else ".jax_cache_bare",
+        ),
     )
     try:
         _jax.config.update("jax_compilation_cache_dir", _cache_dir)

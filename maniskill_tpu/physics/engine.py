@@ -424,16 +424,25 @@ def point_forces(
             return f_n_vel_, f_n_pos_, f_t_, trial_norm_ <= cap_
 
         f_n_vel, f_n_pos, f_t, sticking = forces_at(v_n, v_t)
-        d_n = d_n0 * (f_n_vel > 0)
+        # LHS impedance gate: points whose explicit force is positive OR
+        # that carry warm-started load (lam > 0) stay in the implicit
+        # solve. Gating on (f_n_vel > 0) alone drops a RESTING contact out
+        # of the LHS whenever the pre-solve velocity is momentarily
+        # separating (v_n > lam/d), so gravity free-falls the body back
+        # down every other substep — a sustained ±g·h/2 velocity limit
+        # cycle on every object at rest (breaks is_static success checks).
+        # With the stored-load points kept implicit, the solve lands on
+        # v⁺ ≈ 0 and relam contracts lam geometrically to the true static
+        # load.
+        loaded = (f_n_vel > 0) | ((lam > 0) & (active > 0))
+        d_n = d_n0 * loaded
         # LHS coupling: full impedance while sticking; the regularized
         # Coulomb slope when sliding (force is velocity-independent along
         # the slip direction at the cone boundary).
         vt_norm = jnp.sqrt(
             jnp.sum(v_t * v_t, axis=-1) + params.friction_vreg**2
         )
-        d_t = jnp.where(sticking, d_n0, cmu * f_n_pos / vt_norm) * (
-            f_n_vel > 0
-        )
+        d_t = jnp.where(sticking, d_n0, cmu * f_n_pos / vt_norm) * loaded
 
         def relam(v_body_new, free_vel_new):
             """Store the impulses the implicit solve actually delivered:

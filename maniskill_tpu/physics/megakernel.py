@@ -41,6 +41,7 @@ _SUPPORTED_FNS = {
     "plane_box",
     "box_box_onesided",
     "box_box",
+    "box_box_corners",
     "plane_sphere",
     "sphere_box",
     "box_sphere",
@@ -377,20 +378,35 @@ def _build_kernel(plan: _Plan, n_substeps: int, eb: int = EB):
         [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
         dtype=np.float32,
     )
+    # corners + face centers: the symmetric box_box samples 14 points per
+    # box side (shapes.py box_box — face centers cover the flush stacked-
+    # cube degeneracy); face "signs" are the ±e_i face directions so the
+    # same pa + R(sa·sg) formula produces them
+    SIGNS14 = np.concatenate(
+        [
+            CORNER_SIGNS,
+            np.array([[1, 0, 0], [-1, 0, 0], [0, 1, 0],
+                      [0, -1, 0], [0, 0, 1], [0, 0, -1]], np.float32),
+        ]
+    )
 
     # Pallas kernels cannot capture array constants — static per-point
     # tables ride in as one broadcast (C_rows, P, 128) input plane:
-    # rows [sm(nq); sgn_free(F); cmu; d_n0; corner-sign x/y/z (tiled)]
+    # rows [sm(nq); sgn_free(F); cmu; d_n0; corner-sign x/y/z (tiled);
+    # alt2; alt3; 14-point box_box sign x/y/z (period-14 tiled)]
     P_ = plan.P
     reps = max(1, -(-P_ // 8))
     tiled_signs = np.tile(CORNER_SIGNS, (reps, 1))[:P_]  # (P, 3)
+    reps14 = max(1, -(-P_ // 14))
+    tiled_s14 = np.tile(SIGNS14, (reps14, 1))[:P_]  # (P, 3)
     const_rows = [plan.sm[k] for k in range(nq)]
     const_rows += [plan.sgn_free[j] for j in range(F)]
     alt2 = np.tile(np.array([-1.0, 1.0]), max(1, -(-P_ // 2)))[:P_]
     alt3 = np.tile(np.array([-1.0, 0.0, 1.0]), max(1, -(-P_ // 3)))[:P_]
     const_rows += [plan.cmu, d_n0_np,
                    tiled_signs[:, 0], tiled_signs[:, 1], tiled_signs[:, 2],
-                   alt2, alt3]
+                   alt2, alt3,
+                   tiled_s14[:, 0], tiled_s14[:, 1], tiled_s14[:, 2]]
     const_plane = (
         np.broadcast_to(
             np.stack(const_rows).astype(np.float32)[:, :, None],
@@ -405,6 +421,7 @@ def _build_kernel(plan: _Plan, n_substeps: int, eb: int = EB):
     _r_cs = nq + F + 2
     _r_alt2 = nq + F + 5
     _r_alt3 = nq + F + 6
+    _r_cs14 = nq + F + 7
 
     def kernel(in_ref, cref, out_ref):
         def pcst(r):
@@ -576,30 +593,40 @@ def _build_kernel(plan: _Plan, n_substeps: int, eb: int = EB):
                 nix = ohx * ohs * jnp.sign(plx)
                 niy = ohy * ohs * jnp.sign(ply)
                 niz = ohz * ohs * jnp.sign(plz)
-                outside = d_out > 1e-9
+                # re-normalize tie-split interior normals (shapes.py
+                # _point_box_sdf: |n| < 1 on edge/corner-plane ties)
+                ninv = 1.0 / jnp.sqrt(
+                    nix * nix + niy * niy + niz * niz + 1e-18)
+                nix, niy, niz = nix * ninv, niy * ninv, niz * ninv
+                # 1e-6 threshold, not 1e-9: see shapes.py _point_box_sdf
+                # (sqrt(1e-18) knife edge flips per backend)
+                outside = d_out > 1e-6
                 return sdf, (
                     jnp.where(outside, nox, nix),
                     jnp.where(outside, noy, niy),
                     jnp.where(outside, noz, niz),
                 )
 
-            def corners_in_box(ia_l, ib_l):
-                """8 corners of each box A vs box B (stacked over pairs).
-                Returns pos, n_world (B->A), depth stacks of len 8*n_pairs."""
+            def corners_in_box(ia_l, ib_l, rep=8, sign_row=None):
+                """``rep`` sample points of each box A vs box B (stacked
+                over pairs): 8 corners (default) or 14 corners+face-centers
+                (symmetric box_box). Returns pos, n_world (B->A), depth
+                stacks of len rep*n_pairs."""
                 npair = len(ia_l)
-                pa = [_stk([gpos[i][c] for i in ia_l for _ in range(8)])
+                sign_row = _r_cs if sign_row is None else sign_row
+                pa = [_stk([gpos[i][c] for i in ia_l for _ in range(rep)])
                       for c in range(3)]
-                qa = [_stk([gquat[i][c] for i in ia_l for _ in range(8)])
+                qa = [_stk([gquat[i][c] for i in ia_l for _ in range(rep)])
                       for c in range(4)]
-                sa = [_stk([geom_size(i)[c] for i in ia_l for _ in range(8)])
+                sa = [_stk([geom_size(i)[c] for i in ia_l
+                            for _ in range(rep)]) for c in range(3)]
+                pb = [_stk([gpos[i][c] for i in ib_l for _ in range(rep)])
                       for c in range(3)]
-                pb = [_stk([gpos[i][c] for i in ib_l for _ in range(8)])
-                      for c in range(3)]
-                qb = [_stk([gquat[i][c] for i in ib_l for _ in range(8)])
+                qb = [_stk([gquat[i][c] for i in ib_l for _ in range(rep)])
                       for c in range(4)]
-                sb = [_stk([geom_size(i)[c] for i in ib_l for _ in range(8)])
-                      for c in range(3)]
-                sgc = [pcst(_r_cs + c)[:8 * npair] for c in range(3)]
+                sb = [_stk([geom_size(i)[c] for i in ib_l
+                            for _ in range(rep)]) for c in range(3)]
+                sgc = [pcst(sign_row + c)[:rep * npair] for c in range(3)]
                 corner = _add(
                     tuple(pa),
                     _qapply(tuple(qa), (sa[0] * sgc[0], sa[1] * sgc[1],
@@ -739,16 +766,20 @@ def _build_kernel(plan: _Plan, n_substeps: int, eb: int = EB):
                     nrm = n
                 elif name == "box_box_onesided":
                     pos, nrm, dep = corners_in_box(ia_l, ib_l)
-                elif name == "box_box":
-                    pos_a, nrm_a, dep_a = corners_in_box(ia_l, ib_l)
-                    pos_b, nrm_b0, dep_b = corners_in_box(ib_l, ia_l)
+                elif name in ("box_box", "box_box_corners"):
+                    rep = 14 if name == "box_box" else 8
+                    srow = _r_cs14 if name == "box_box" else _r_cs
+                    pos_a, nrm_a, dep_a = corners_in_box(
+                        ia_l, ib_l, rep=rep, sign_row=srow)
+                    pos_b, nrm_b0, dep_b = corners_in_box(
+                        ib_l, ia_l, rep=rep, sign_row=srow)
                     nrm_b = _scale(nrm_b0, -1.0)
-                    # interleave per pair: [A-corners(8); B-corners(8)]
-                    def ilv(xa, xb):
+                    # interleave per pair: [A-points(rep); B-points(rep)]
+                    def ilv(xa, xb, rep=rep):
                         parts = []
                         for j in range(npair):
-                            parts.append(xa[8 * j:8 * j + 8])
-                            parts.append(xb[8 * j:8 * j + 8])
+                            parts.append(xa[rep * j:rep * j + rep])
+                            parts.append(xb[rep * j:rep * j + rep])
                         return jnp.concatenate(parts, axis=0)
                     pos = tuple(ilv(pos_a[c], pos_b[c]) for c in range(3))
                     nrm = tuple(ilv(nrm_a[c], nrm_b[c]) for c in range(3))
@@ -934,7 +965,13 @@ def _build_kernel(plan: _Plan, n_substeps: int, eb: int = EB):
                 cn = ctx["cn"]
                 v_n, v_t = point_vels(c0, c1, cn, vb_w, vb_v, fvel)
                 f_n_vel, f_n_pos, f_t, sticking = forces_at(ctx, v_n, v_t)
-                gate = (f_n_vel > 0).astype(jnp.float32)
+                # loaded gate (engine.py point_forces): stored-load points
+                # stay in the implicit LHS or resting bodies limit-cycle at
+                # ±g·h/2
+                gate = jnp.maximum(
+                    (f_n_vel > 0).astype(jnp.float32),
+                    (ctx["lam"] > 0).astype(jnp.float32) * ctx["active"],
+                )
                 d_n = ctx["d_n0"] * gate
                 vt_norm = jnp.sqrt(_dot(v_t, v_t) + vreg * vreg)
                 d_t = jnp.where(

@@ -335,7 +335,7 @@ class SceneModel:
 
     def _build_pair_tables(self):
         """Group contact pairs and precompute combined friction etc."""
-        from .shapes import box_box_onesided
+        from .shapes import box_box_corners, box_box_onesided
 
         self.pair_table = []
         for (ia, ib) in self.pairs:
@@ -353,6 +353,17 @@ class SceneModel:
                     ia, ib = ib, ia
                     ga, gb = gb, ga
                 fn, k = box_box_onesided, 8
+            elif (
+                ga.gtype == GeomType.BOX
+                and gb.gtype == GeomType.BOX
+                and (ga.kind == BodyKind.ROBOT_LINK
+                     or gb.kind == BodyKind.ROBOT_LINK)
+            ):
+                # finger pads vs objects: corners-only manifold is exact
+                # for the smaller-on-larger face contact; the full 28-point
+                # test (face centers) is only needed for FREE-FREE pairs
+                # that can stack flush (shapes.py box_box docstring)
+                fn, k = box_box_corners, 16
             mu = 0.5 * (ga.friction + gb.friction)  # PhysX default: average
             if swapped:
                 # contact_fn resolved the REVERSED type order: store the

@@ -106,12 +106,23 @@ def _point_box_sdf(p_local: jnp.ndarray, half: jnp.ndarray):
     n_out = outside * jnp.sign(p_local)
     n_out = n_out / jnp.sqrt(jnp.sum(n_out * n_out, axis=-1, keepdims=True) + 1e-18)
     # interior normal: axis of least penetration, as an arithmetic one-hot
-    # (argmax + gather lowers to slow dynamic indexing on TPU)
+    # (argmax + gather lowers to slow dynamic indexing on TPU). Ties (a
+    # point exactly on an edge/corner plane — e.g. two identical axis-
+    # aligned boxes stacked flush) split the one-hot across axes; the
+    # result must be re-normalized or the diagonal "normal" has |n| < 1
+    # and under-delivers impulse.
     qmax = jnp.max(q, axis=-1, keepdims=True)
     onehot = (q >= qmax).astype(p_local.dtype)
     onehot = onehot / jnp.sum(onehot, axis=-1, keepdims=True)
     n_in = onehot * jnp.sign(p_local)
-    n = jnp.where((d_out > 1e-9)[..., None], n_out, n_in)
+    n_in = n_in / jnp.sqrt(
+        jnp.sum(n_in * n_in, axis=-1, keepdims=True) + 1e-18
+    )
+    # branch threshold 1e-6 (1 µm), NOT 1e-9: d_out = sqrt(0 + 1e-18) for a
+    # point exactly on a face sits ON a 1e-9 knife edge — backend-dependent
+    # rounding (TPU vs CPU) flips it onto the outside branch whose normal
+    # is 0/d_out = a ZERO vector, deleting the contact's support direction
+    n = jnp.where((d_out > 1e-6)[..., None], n_out, n_in)
     return sdf, n
 
 
@@ -131,19 +142,38 @@ def box_sphere(pa, qa, sa, pb, qb, sb) -> ContactPoints:
     return ContactPoints(c.pos, -c.normal, c.depth)
 
 
+_FACE_DIRS = jnp.asarray(
+    [[1.0, 0, 0], [-1.0, 0, 0], [0, 1.0, 0],
+     [0, -1.0, 0], [0, 0, 1.0], [0, 0, -1.0]]
+)
+
+
+def _box_face_centers(pos, quat, half):
+    return pos + quat_apply(quat[None], _FACE_DIRS * half[None])
+
+
 def box_box(pa, qa, sa, pb, qb, sb) -> ContactPoints:
-    """Vertex-SDF box-box: corners of A against B and corners of B against A.
-    16 candidate points. Face-face contact manifolds emerge from the corner
-    sets; edge-edge crossing contacts are approximated (adequate for the
-    tabletop task geometries, cf. reference PhysX PCM which also point-samples
-    patches)."""
-    # corners of A inside B
-    ca = _box_corners(pa, qa, sa)  # (8,3)
+    """Vertex-SDF box-box: corners + face centers of A against B and of B
+    against A. 28 candidate points. Face-face contact manifolds emerge from
+    the corner sets; edge-edge crossing contacts are approximated (adequate
+    for the tabletop task geometries, cf. reference PhysX PCM which also
+    point-samples patches). The face centers cover the flush face-on-face
+    degeneracy: two identical axis-aligned boxes stacked exactly put every
+    CORNER of each box precisely on the other's lateral face planes, where
+    the vertex SDF reads zero depth along a diagonal — corner samples alone
+    let the upper box fall straight through. The face center lies strictly
+    inside the supporting face and reports the true normal/depth."""
+    # corners + face centers of A inside B
+    ca = jnp.concatenate(
+        [_box_corners(pa, qa, sa), _box_face_centers(pa, qa, sa)], axis=0
+    )  # (14,3)
     ca_local = quat_apply(quat_conjugate(qb)[None], ca - pb)
     sdf_a, n_a_local = _point_box_sdf(ca_local, sb)
     n_a = quat_apply(qb[None], n_a_local)  # B -> A
-    # corners of B inside A
-    cb = _box_corners(pb, qb, sb)
+    # corners + face centers of B inside A
+    cb = jnp.concatenate(
+        [_box_corners(pb, qb, sb), _box_face_centers(pb, qb, sb)], axis=0
+    )
     cb_local = quat_apply(quat_conjugate(qa)[None], cb - pa)
     sdf_b, n_b_local = _point_box_sdf(cb_local, sa)
     n_b = -quat_apply(qa[None], n_b_local)  # outward from A, flip to B->A
@@ -203,6 +233,26 @@ def capsule_capsule(pa, qa, sa, pb, qb, sb) -> ContactPoints:
     depth = ra + rb - dist
     pos = cb + n * (rb - 0.5 * depth)
     return ContactPoints(pos[None], n[None], depth[None])
+
+
+def box_box_corners(pa, qa, sa, pb, qb, sb) -> ContactPoints:
+    """Symmetric corners-only box-box (16 points) — the pre-face-center
+    variant, used for ROBOT-involved box pairs: a finger pad pressing a
+    (larger) cube face puts the pad's corners strictly inside the face, so
+    corners alone produce the correct manifold, and the hot grasp path
+    stays 12 points leaner than the full 28-point test."""
+    ca = _box_corners(pa, qa, sa)
+    ca_local = quat_apply(quat_conjugate(qb)[None], ca - pb)
+    sdf_a, n_a_local = _point_box_sdf(ca_local, sb)
+    n_a = quat_apply(qb[None], n_a_local)
+    cb = _box_corners(pb, qb, sb)
+    cb_local = quat_apply(quat_conjugate(qa)[None], cb - pa)
+    sdf_b, n_b_local = _point_box_sdf(cb_local, sa)
+    n_b = -quat_apply(qa[None], n_b_local)
+    pos = jnp.concatenate([ca, cb], axis=0)
+    normal = jnp.concatenate([n_a, n_b], axis=0)
+    depth = jnp.concatenate([-sdf_a, -sdf_b], axis=0)
+    return ContactPoints(pos, normal, depth)
 
 
 def box_box_onesided(pa, qa, sa, pb, qb, sb) -> ContactPoints:
@@ -329,7 +379,7 @@ PAIR_FUNCS = {
     (GeomType.PLANE, GeomType.CAPSULE): (plane_capsule, 2),
     (GeomType.SPHERE, GeomType.SPHERE): (sphere_sphere, 1),
     (GeomType.SPHERE, GeomType.BOX): (sphere_box, 1),
-    (GeomType.BOX, GeomType.BOX): (box_box, 16),
+    (GeomType.BOX, GeomType.BOX): (box_box, 28),
     (GeomType.SPHERE, GeomType.CAPSULE): (sphere_capsule, 1),
     (GeomType.CAPSULE, GeomType.BOX): (capsule_box, 3),
     (GeomType.CAPSULE, GeomType.CAPSULE): (capsule_capsule, 1),

@@ -19,10 +19,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-# persistent compilation cache: repeat test runs skip XLA recompiles
+# persistent compilation cache: repeat test runs skip XLA recompiles.
+# The axon-site environment compiles with different CPU target features
+# (+prefer-no-scatter etc.); its cache entries mis-execute when loaded in a
+# bare environment (observed: wrong physics from a feature-mismatched AOT
+# artifact) — keep the two environments' caches separate.
+_repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_axon = any(".axon_site" in p for p in sys.path) or (
+    ".axon_site" in os.environ.get("PYTHONPATH", "")
+)
 jax.config.update(
     "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+    os.path.join(_repo, ".jax_cache" if _axon else ".jax_cache_bare"),
 )
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

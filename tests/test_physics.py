@@ -183,3 +183,35 @@ def test_sphere_box_contact():
     state = state.replace(free_pose=state.free_pose.at[0, 2].set(0.2))
     out = run(model, state, empty_cmd(0), 150)
     assert abs(float(out.free_pose[0, 2]) - 0.03) < 2e-3
+
+
+def test_stacked_cubes_rest():
+    """Two identical axis-aligned cubes stacked flush must come to rest —
+    regression for the box-box corner-on-face-plane degeneracy (corners of
+    each cube land exactly on the other's lateral planes; without face-
+    center samples the top cube falls straight through) and for the
+    ±g·h/2 resting-velocity limit cycle (the implicit-impedance gate must
+    keep stored-load points in the LHS)."""
+    half = 0.02
+    m = 1000.0 * (2 * half) ** 3
+    inertia = (2.0 / 3.0) * m * half * half * np.eye(3)
+    b = SceneSpecBuilder(SimParams())
+    b.add_static_body(
+        "table", np.array([0, 0, -0.05, 1, 0, 0, 0], np.float32),
+        [box_geom([0.6, 0.7, 0.05], friction=0.5)],
+    )
+    ib = b.add_free_body("B", m, inertia, [box_geom([half] * 3)])
+    ia = b.add_free_body("A", m, inertia, [box_geom([half] * 3)])
+    model = b.build()
+    state = model.initial_state()
+    state = state.replace(
+        free_pose=state.free_pose
+        .at[ib].set(jnp.asarray([0.0, 0.0, half, 1, 0, 0, 0]))
+        .at[ia].set(jnp.asarray([0.0, 0.0, 4 * half, 1, 0, 0, 0]))
+    )
+    out = run(model, state, empty_cmd(0), 60)
+    # A rests ON B (did not tunnel), B still on the table (did not launch)
+    assert abs(float(out.free_pose[ia, 2]) - 3 * half) < 2e-3, out.free_pose[ia]
+    assert abs(float(out.free_pose[ib, 2]) - half) < 2e-3, out.free_pose[ib]
+    # velocities converge to genuine rest (is_static-grade: < 1e-2)
+    assert float(jnp.max(jnp.abs(out.free_vel))) < 1e-2
