@@ -72,6 +72,14 @@ class EEController:
         env's FK of the current qpos."""
         assert aux is not None, "EEController needs FK context"
         base_pose, body_pos, body_quat, axis_w = aux
+        # scenes with articulated OBJECTS append passive links after the
+        # robot's (the robot is tree 0 of the merged forest) — the env FK
+        # then covers MORE bodies than this controller's spec; slice to the
+        # robot's own links so the point jacobian shapes stay consistent
+        nb = self.spec.nb
+        body_pos = body_pos[:nb]
+        body_quat = body_quat[:nb]
+        axis_w = axis_w[:nb]
         if self.normalize_action:
             a = clip_and_scale_action(
                 action, jnp.asarray(self.raw_low), jnp.asarray(self.raw_high)

@@ -10,3 +10,4 @@ from .quadruped import AnymalC, UnitreeGo2, UnitreeH1  # noqa: F401
 from .realman import Realman  # noqa: F401
 from .widowx import WidowX250S, WidowX250SBridge  # noqa: F401
 from .arms_extra import UR10e, XArm6NoGripper, XArm6Robotiq, Xmate3Robotiq, GoogleRobot, FloatingRobotiq2F85Gripper  # noqa: F401
+from .stompy import Stompy  # noqa: F401

@@ -109,6 +109,11 @@ class TaskContext:
         lin = v[3:] + jnp.cross(v[:3], self.body_pos[body_idx] - ref)
         return lin, v[:3]
 
+    def link(self, name: str) -> "LinkView":
+        """Per-link struct view (reference ``utils/structs/link.py`` Link:
+        pose/velocity/bbox surface). ``name`` is a robot link/frame name."""
+        return LinkView(self, name)
+
     def actor_pose(self, name: str) -> Pose:
         i = self.env.model.free_index.get(name)
         if i is not None:
@@ -121,6 +126,51 @@ class TaskContext:
         if i is not None:
             return self.state.sim.free_vel[i]
         return jnp.zeros(6)
+
+
+class LinkView:
+    """Read-only per-link view over a :class:`TaskContext` (reference
+    ``utils/structs/link.py``: ``link.pose``, ``link.linear_velocity``,
+    ``link.angular_velocity``, collision bbox). All values derive from the
+    ctx's cached FK — building a view is free."""
+
+    def __init__(self, ctx: TaskContext, name: str):
+        self._ctx = ctx
+        self.name = name
+        spec = ctx.env.model.robot
+        if name in spec.link_index:
+            self.index = spec.link_index[name]
+        else:  # fixed frame (e.g. panda_hand_tcp): resolve its parent body
+            self.index = spec.frame_of(name)[0]
+
+    @property
+    def pose(self) -> Pose:
+        return self._ctx.frame_pose(self.name)
+
+    @property
+    def linear_velocity(self) -> jnp.ndarray:
+        return self._ctx.body_velocity(self.index)[0]
+
+    @property
+    def angular_velocity(self) -> jnp.ndarray:
+        return self._ctx.body_velocity(self.index)[1]
+
+    def collision_aabb_half(self) -> np.ndarray:
+        """Half-extents of the link's collision geoms' combined local AABB
+        (static, host-side) — the reference Link bbox surface."""
+        model = self._ctx.env.model
+        from ..physics.model import BodyKind
+
+        lo = np.full(3, np.inf)
+        hi = np.full(3, -np.inf)
+        for g in model.geoms:
+            if g.kind == BodyKind.ROBOT_LINK and g.body == self.index:
+                r = float(np.max(g.size))
+                lo = np.minimum(lo, g.offset_p - r)
+                hi = np.maximum(hi, g.offset_p + r)
+        if not np.isfinite(lo).all():
+            return np.zeros(3, np.float32)
+        return ((hi - lo) / 2).astype(np.float32)
 
 
 class BaseEnv:
@@ -143,8 +193,10 @@ class BaseEnv:
     max_episode_steps: Optional[int] = None  # set by registry
     # greenscreen compositing (digital twins): camera uid -> (H, W, 3) uint8
     # overlay image; segmentation ids in rgb_overlay_mask_ids are treated as
-    # background (reference rgb_always_overlay_objects)
-    rgb_overlay_images: Dict[str, Any] = {}
+    # background (reference rgb_always_overlay_objects). None at class level
+    # — __init__ creates a fresh per-instance dict so mutating one env's
+    # overlays never leaks into other instances.
+    rgb_overlay_images: Optional[Dict[str, Any]] = None
     # body names forced onto the overlay even though they are dynamic
     # (reference rgb_always_overlay_objects, e.g. the sink)
     rgb_overlay_exclude_names: tuple = ()
@@ -195,6 +247,9 @@ class BaseEnv:
         assert reward_mode in self.SUPPORTED_REWARD_MODES, reward_mode
         assert sim_backend in ("auto", "xla", "pallas"), sim_backend
         self.num_envs = num_envs
+        if self.rgb_overlay_images is None:
+            self.rgb_overlay_images = {}
+        self._overlay_keep_cache = None
         self.obs_mode = obs_mode
         self.reward_mode = reward_mode
         self.robot_uids = robot_uids or self.DEFAULT_ROBOT

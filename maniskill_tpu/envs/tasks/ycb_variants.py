@@ -39,8 +39,25 @@ from .transport_box import TransportBoxEnv
 
 @register_env("PickSingleYCB-v1", max_episode_steps=50)
 class PickSingleYCBEnv(PickSingleHullEnv):
-    """The reference id for heterogeneous single-object pickup; see
-    module docstring for the hull-for-mesh substitution."""
+    """The reference id for heterogeneous single-object pickup. With the
+    YCB mesh pack downloaded (utils/building.py ``YCB_DIR``) each model
+    row is the REAL object's convex hull (reference
+    ``pick_single_ycb.py:27`` + ``utils/building/actors/ycb.py``);
+    otherwise procedural stand-ins keep the env runnable offline."""
+
+    def __init__(self, *args, model_ids=None, **kwargs):
+        self._requested_model_ids = model_ids
+        super().__init__(*args, **kwargs)
+        # PickSingleHullEnv.__init__ set the procedural library before
+        # building; swapping the TABLES post-build is safe (same padded
+        # shapes) and per-env selection happens at episode init
+        from ...physics.hulls import pad_library
+        from ...utils.building import ycb_or_procedural_library
+
+        lib = ycb_or_procedural_library(model_ids)
+        self._lib = lib
+        (self._verts_t, self._faces_t, self._vol_t, self._inert_t,
+         self._aabb_t) = pad_library(lib)
 
 
 def _add_distractors(builder, n=2):

@@ -225,3 +225,23 @@ def test_scene_builder_registry():
         -1, 1, (2, env.action_dim)).astype(np.float32)
     obs, rew, term, trunc, info = env.step(a)
     assert bool(jnp.isfinite(jnp.asarray(obs)).all())
+
+
+def test_link_view_api():
+    """Per-link struct view (reference utils/structs/link.py surface)."""
+    import jax as _jax
+
+    from maniskill_tpu.envs.base_env import TaskContext
+
+    env = mst.make("PushCube-v1", num_envs=1)
+    env.reset(seed=0)
+    st = _jax.tree.map(lambda x: x[0], env._state)
+    ctx = TaskContext(env, st)
+    link = ctx.link(env.agent.ee_link_name)
+    p = np.asarray(link.pose.p)
+    assert p.shape == (3,) and np.all(np.isfinite(p))
+    lv = np.asarray(link.linear_velocity)
+    av = np.asarray(link.angular_velocity)
+    assert lv.shape == (3,) and av.shape == (3,)
+    half = link.collision_aabb_half()
+    assert half.shape == (3,)
