@@ -14,7 +14,7 @@ import numpy as np
 import maniskill_tpu as mst
 from maniskill_tpu.trajectory import RecordEpisode
 
-from .solutions import SOLUTIONS
+from .solutions import CONTROL_MODES, SOLUTIONS
 
 
 def main():
@@ -30,7 +30,7 @@ def main():
     env = mst.make(
         args.env_id,
         num_envs=args.num_envs,
-        control_mode="pd_ee_delta_pos",
+        control_mode=CONTROL_MODES.get(args.env_id, "pd_ee_delta_pos"),
         robot_init_qpos_noise=0.0,
     )
     recorder = None

@@ -26,17 +26,100 @@ def _tcp_and_actor(env, actor: str) -> Tuple[np.ndarray, np.ndarray]:
     return tcp, pos
 
 
-def _servo(env, target_fn, steps: int, gain: float = 3.0, grip: float = 1.0,
-           recorder=None, clip: float = 0.4):
-    stepper = recorder if recorder is not None else env
-    B = env.num_envs
-    for _ in range(steps):
-        tcp, obj = _tcp_and_actor(env, target_fn.__defaults__[0] if False else "cube")
-        tgt = target_fn(tcp, obj)
-        a = np.zeros((B, env.action_dim), np.float32)
-        a[:, :3] = np.clip((tgt - tcp) * gain, -clip, clip)
-        a[:, 3] = grip
-        stepper.step(a)
+def _tcp_pose(env) -> Tuple[np.ndarray, np.ndarray]:
+    """Batched TCP position (B, 3) and quaternion (B, 4)."""
+    s = env._state
+
+    def f(st):
+        pose = TaskContext(env, st).tcp_pose
+        return pose.p, pose.q
+
+    p, q = jax.vmap(f)(s)
+    return np.asarray(p), np.asarray(q)
+
+
+def _actor_pose(env, actor: str) -> Tuple[np.ndarray, np.ndarray]:
+    s = env._state
+    idx = env.model.free_index[actor]
+    raw = np.asarray(s.sim.free_pose[:, idx])
+    return raw[:, :3], raw[:, 3:7]
+
+
+def _quat_apply_np(q: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Batched quaternion rotation (B, 4) x (B, 3) -> (B, 3)."""
+    w, x, y, z = q[:, 0:1], q[:, 1:2], q[:, 2:3], q[:, 3:4]
+    uv = 2.0 * np.cross(q[:, 1:], v)
+    return v + w * uv + np.cross(q[:, 1:], uv)
+
+
+def _yaw_of(q: np.ndarray) -> np.ndarray:
+    """Yaw of the body x-axis projected on the table plane, (B,)."""
+    x_axis = _quat_apply_np(q, np.tile(np.array([1.0, 0, 0]), (len(q), 1)))
+    return np.arctan2(x_axis[:, 1], x_axis[:, 0])
+
+
+class _PoseServo:
+    """Closed-loop EE servo shared by the pose-controlled solutions.
+
+    ``mode='pos'`` drives ``pd_ee_delta_pos`` (action [dxyz, grip]);
+    ``mode='pose'`` drives ``pd_ee_delta_pose`` (action [dxyz,
+    axis-angle-drot (root frame), grip], agents/controllers/ee.py:82-95).
+    """
+
+    def __init__(self, env, recorder=None):
+        self.env = env
+        self.stepper = recorder if recorder is not None else env
+        self.B = env.num_envs
+        self.with_rot = env.control_mode == "pd_ee_delta_pose"
+        self.adim = env.action_dim
+        self.last = None
+
+    def act(self, dpos, drot=None, grip=1.0):
+        a = np.zeros((self.B, self.adim), np.float32)
+        a[:, :3] = dpos
+        if self.with_rot:
+            if drot is not None:
+                a[:, 3:6] = drot
+            a[:, 6] = grip
+        elif self.adim > 3:  # stick robots (no gripper) are 3-dof
+            a[:, 3] = grip
+        self.last = self.stepper.step(a)
+        return self.last
+
+    def to(self, target_fn, steps, gain=3.0, grip=1.0, clip=0.7,
+           rot_fn=None, rot_gain=3.0, rot_clip=0.6):
+        """Servo the TCP to ``target_fn() -> (B, 3)`` positions; with
+        ``rot_fn() -> (B, 3)`` world-frame rotation errors (axis*angle),
+        also align orientation."""
+        for _ in range(steps):
+            tcp, tq = _tcp_pose(self.env)
+            dpos = np.clip((target_fn() - tcp) * gain, -clip, clip)
+            drot = None
+            if rot_fn is not None and self.with_rot:
+                drot = np.clip(rot_fn() * rot_gain, -rot_clip, rot_clip)
+            self.act(dpos, drot, grip)
+        return self.last
+
+    def hold(self, steps, grip):
+        for _ in range(steps):
+            self.act(np.zeros((self.B, 3), np.float32), None, grip)
+        return self.last
+
+    def success(self):
+        info = self.last[-1]
+        return np.asarray(info.get("success"))
+
+
+def _axis_angle_between(u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """World-frame rotation (axis*angle, (B, 3)) taking direction u to v."""
+    u = u / np.linalg.norm(u, axis=1, keepdims=True).clip(1e-9)
+    v = v / np.linalg.norm(v, axis=1, keepdims=True).clip(1e-9)
+    axis = np.cross(u, v)
+    s = np.linalg.norm(axis, axis=1, keepdims=True)
+    c = np.sum(u * v, axis=1, keepdims=True)
+    ang = np.arctan2(s, c)
+    safe = axis / s.clip(1e-9)
+    return np.where(s > 1e-6, safe * ang, np.zeros_like(axis))
 
 
 def solve_pick_cube(env, recorder=None, lift_height: float = 0.25):
@@ -243,9 +326,375 @@ def solve_roll_ball(env, recorder=None):
     return np.asarray(info.get("success"))
 
 
+def solve_pick_object(env, recorder=None, actor: str = "cube",
+                      goal: str = "goal_site"):
+    """Generic pick-and-place for the PickSingleHull / PickCubeYCB family
+    (reference solutions/pick_cube_ycb.py): like solve_pick_cube but the
+    descend height tracks the object's actual center (per-env hull heights
+    differ)."""
+    assert env.control_mode == "pd_ee_delta_pos"
+    sv = _PoseServo(env, recorder)
+    B = env.num_envs
+
+    def obj():
+        return _tcp_and_actor(env, actor)[1]
+
+    sv.to(lambda: np.concatenate(
+        [obj()[:, :2], np.full((B, 1), 0.12)], 1), steps=30)
+    sv.to(lambda: np.concatenate(
+        [obj()[:, :2], obj()[:, 2:3] + 0.02], 1), steps=25)
+    sv.to(lambda: np.concatenate(
+        [obj()[:, :2], obj()[:, 2:3]], 1), steps=20, gain=2.0)
+    sv.hold(8, grip=-1.0)
+    goal_p = np.asarray(
+        env._state.sim.kin_pose[:, env.model.kin_index[goal], :3])
+    for _ in range(60):
+        tcp, o = _tcp_and_actor(env, actor)
+        sv.act(np.clip((goal_p - o) * 3.0, -0.4, 0.4), grip=-1.0)
+    sv.hold(6, grip=-1.0)
+    return sv.success()
+
+
+def _tcp_x_across(env, dir_fn):
+    """rot_fn: yaw error (mod pi) aligning the TCP x-axis with the world
+    direction ``dir_fn() -> (B, 3)`` — puts the finger-opening axis (tcp y)
+    ACROSS the object so the grasp wraps it."""
+    B = env.num_envs
+
+    def rot_fn():
+        _, tq = _tcp_pose(env)
+        tx = _quat_apply_np(tq, np.tile(np.array([1.0, 0, 0]), (B, 1)))
+        d = dir_fn()
+        a = np.arctan2(d[:, 1], d[:, 0])
+        b = np.arctan2(tx[:, 1], tx[:, 0])
+        e = (a - b + np.pi / 2) % np.pi - np.pi / 2
+        out = np.zeros((B, 3), np.float32)
+        out[:, 2] = e
+        return out
+
+    return rot_fn
+
+
+def solve_lift_peg_upright(env, recorder=None):
+    """LiftPegUpright-v1 under ``pd_ee_delta_pose`` (reference
+    solutions/lift_peg_upright.py): grasp the lying peg at its center,
+    lift, rotate the long axis to vertical, lower until the base touches
+    the table."""
+    assert env.control_mode == "pd_ee_delta_pose"
+    sv = _PoseServo(env, recorder)
+    B = env.num_envs
+    L = env.peg_half_length
+
+    def peg():
+        return _actor_pose(env, "peg")
+
+    def peg_dir():
+        p, q = peg()
+        return _quat_apply_np(q, np.tile(np.array([1.0, 0, 0]), (B, 1)))
+
+    yaw_across = _tcp_x_across(env, peg_dir)
+    # grasp the peg center from above with the fingers across the peg
+    sv.to(lambda: np.concatenate(
+        [peg()[0][:, :2], np.full((B, 1), 0.10)], 1), steps=32,
+        rot_fn=yaw_across)
+    sv.to(lambda: np.concatenate(
+        [peg()[0][:, :2], np.full((B, 1), 0.024)], 1), steps=30, gain=2.5,
+        clip=0.35, rot_fn=yaw_across)
+    sv.hold(8, grip=-1.0)
+
+    # lift well clear of the table, then rotate the peg x-axis onto +z
+    up = np.tile(np.array([0.0, 0.0, 1.0]), (B, 1))
+
+    def rot_err():
+        d = peg_dir()
+        # rotate the end currently pointing higher toward +z
+        sgn = np.where(d[:, 2:3] >= 0.0, 1.0, -1.0)
+        return _axis_angle_between(d * sgn, up)
+
+    sv.to(lambda: np.concatenate(
+        [peg()[0][:, :2], np.full((B, 1), 0.30)], 1),
+        steps=28, grip=-1.0)
+    sv.to(lambda: np.concatenate(
+        [peg()[0][:, :2], np.full((B, 1), 0.30)], 1),
+        steps=70, grip=-1.0, rot_fn=rot_err, rot_clip=0.8)
+    # lower until the peg base is just above the table, release, retreat:
+    # a near-upright 2L peg standing on its end is statically stable
+    # (CoM-over-base margin atan(w/L) ≈ 0.2 rad >> the residual tilt), so
+    # gravity settles it to EXACTLY upright once released
+    sv.to(lambda: np.concatenate(
+        [peg()[0][:, :2], np.full((B, 1), L + 0.01)],
+        1), steps=45, gain=2.0, clip=0.3, grip=-1.0, rot_fn=rot_err,
+        rot_clip=0.8)
+    sv.hold(4, grip=1.0)  # release
+    for _ in range(10):  # retreat straight up, peg settles
+        sv.act(np.tile(np.array([0, 0, 0.5], np.float32), (B, 1)),
+               grip=1.0)
+    sv.hold(8, grip=1.0)
+    return sv.success()
+
+
+def solve_peg_insertion_side(env, recorder=None):
+    """PegInsertionSide-v1 under ``pd_ee_delta_pose`` (reference
+    solutions/peg_insertion_side.py): yaw-align, grasp the peg, align its
+    axis with the hole, pre-position the head at the entrance, push in."""
+    assert env.control_mode == "pd_ee_delta_pose"
+    sv = _PoseServo(env, recorder)
+    B = env.num_envs
+    s = env._state
+    half = np.asarray(s.extras["peg_half_size"])  # (B, 3)
+    Ls = half[:, 0:1]
+
+    box_raw = np.asarray(
+        s.sim.kin_pose[:, env.model.kin_index["box_with_hole"]])
+    box_p, box_q = box_raw[:, :3], box_raw[:, 3:7]
+    box_x = _quat_apply_np(box_q, np.tile(np.array([1.0, 0, 0]), (B, 1)))
+
+    def peg():
+        return _actor_pose(env, "peg")
+
+    def peg_x():
+        return _quat_apply_np(peg()[1],
+                              np.tile(np.array([1.0, 0, 0]), (B, 1)))
+
+    def head():
+        p, _ = peg()
+        return p + peg_x() * Ls
+
+    def tcp_yaw_err():
+        # close the fingers ACROSS the peg: align the tcp x-axis with the
+        # peg long axis (mod pi) about world z
+        _, tq = _tcp_pose(env)
+        tx = _quat_apply_np(tq, np.tile(np.array([1.0, 0, 0]), (B, 1)))
+        a = np.arctan2(peg_x()[:, 1], peg_x()[:, 0])
+        b = np.arctan2(tx[:, 1], tx[:, 0])
+        d = a - b
+        d = (d + np.pi / 2) % np.pi - np.pi / 2
+        out = np.zeros((B, 3), np.float32)
+        out[:, 2] = d
+        return out
+
+    # hover above the peg center with the wrist yawed across the peg
+    sv.to(lambda: np.concatenate(
+        [peg()[0][:, :2], np.full((B, 1), 0.10)], 1),
+        steps=32, rot_fn=tcp_yaw_err)
+    sv.to(lambda: np.concatenate(
+        [peg()[0][:, :2], half[:, 1:2] * 0.8], 1),
+        steps=30, gain=2.5, clip=0.35, rot_fn=tcp_yaw_err)
+    sv.hold(8, grip=-1.0)
+
+    # lift and align the peg axis (head first) with the hole axis
+    def axis_err():
+        # rotate so the peg head points along the box +x (insertion dir)
+        return _axis_angle_between(peg_x(), box_x)
+
+    hole_entry = box_p - box_x * (Ls + 0.04)
+    sv.to(lambda: peg()[0] * np.array([1, 1, 0]) + np.array([0, 0, 0.20]),
+          steps=25, grip=-1.0)
+    # drive the HEAD to the entrance, then through, while holding
+    # alignment: the tcp moves by the head error (rigid transform)
+    for phase_steps, tgt_off in ((45, hole_entry), (50, box_p)):
+        for _ in range(phase_steps):
+            err = tgt_off - head()
+            drot = np.clip(axis_err() * 2.0, -0.3, 0.3)
+            sv.act(np.clip(err * 2.0, -0.25, 0.25), drot, grip=-1.0)
+    sv.hold(4, grip=-1.0)
+    return sv.success()
+
+
+def solve_plug_charger(env, recorder=None):
+    """PlugCharger-v1 under ``pd_ee_delta_pose`` (reference
+    solutions/plug_charger.py): grasp the charger base, lift to the
+    receptacle height, square up the yaw, push the prongs into the slots."""
+    assert env.control_mode == "pd_ee_delta_pose"
+    sv = _PoseServo(env, recorder)
+    B = env.num_envs
+    goal = np.asarray(env._goal_pose[:3])
+
+    def chg():
+        return _actor_pose(env, "charger")
+
+    def yaw_err():
+        out = np.zeros((B, 3), np.float32)
+        out[:, 2] = -_yaw_of(chg()[1])
+        return out
+
+    def tcp_yaw_to_charger():
+        _, tq = _tcp_pose(env)
+        tx = _quat_apply_np(tq, np.tile(np.array([1.0, 0, 0]), (B, 1)))
+        a = _yaw_of(chg()[1])
+        b = np.arctan2(tx[:, 1], tx[:, 0])
+        d = (a - b + np.pi / 2) % np.pi - np.pi / 2
+        out = np.zeros((B, 3), np.float32)
+        out[:, 2] = d
+        return out
+
+    # grasp the base from above, fingers across the charger length
+    sv.to(lambda: np.concatenate(
+        [chg()[0][:, :2], np.full((B, 1), 0.08)], 1),
+        steps=30, rot_fn=tcp_yaw_to_charger)
+    sv.to(lambda: np.concatenate(
+        [chg()[0][:, :2], np.full((B, 1), 0.013)], 1),
+        steps=30, gain=2.5, clip=0.3, rot_fn=tcp_yaw_to_charger)
+    sv.hold(8, grip=-1.0)
+    # lift to wall height, square the charger (yaw -> 0), pre-position
+    pre = goal + np.array([-0.03, 0.0, 0.0])
+    for _ in range(45):
+        err = pre - chg()[0]
+        sv.act(np.clip(err * 2.5, -0.25, 0.25),
+               np.clip(yaw_err() * 2.0, -0.3, 0.3), grip=-1.0)
+    # slow insertion push
+    for _ in range(50):
+        err = goal - chg()[0]
+        sv.act(np.clip(err * 2.0, -0.08, 0.08),
+               np.clip(yaw_err() * 2.0, -0.2, 0.2), grip=-1.0)
+    sv.hold(4, grip=-1.0)
+    return sv.success()
+
+
+def solve_pull_cube_tool(env, recorder=None):
+    """PullCubeTool-v1 (reference solutions/pull_cube_tool.py): grasp the
+    L-tool handle, hook behind the out-of-reach cube, drag it into the
+    workspace."""
+    assert env.control_mode == "pd_ee_delta_pos"
+    sv = _PoseServo(env, recorder)
+    B = env.num_envs
+    hl, hk = env.handle_length, env.hook_length
+    w = env.tool_width
+
+    def tool():
+        return _tcp_and_actor(env, "l_shape_tool")[1]
+
+    def cube():
+        return _tcp_and_actor(env, "cube")[1]
+
+    # grasp the handle near the END CLOSEST to the robot: the cube spawns
+    # at the reach boundary, so holding the far end wastes ~10 cm of the
+    # tool's extension (reference pull_cube_tool.py grasps the handle end)
+    grasp_off = np.array([-0.07, 0.0, 0.0])
+    sv.to(lambda: tool() + grasp_off + np.array([0, 0, 0.07]), steps=32)
+    sv.to(lambda: tool() + grasp_off + np.array([0, 0, 0.001]),
+          steps=32, gain=2.5, clip=0.35)
+    sv.hold(8, grip=-1.0)
+    # carry the tool so the hook lands BEYOND the cube (tool origin target
+    # = cube - hook tip offset + margin), travelling high to clear the cube
+    def tool_target(z):
+        c = cube()
+        tgt = np.empty((B, 3), np.float32)
+        tgt[:, 0] = c[:, 0] + 0.06 - (hl / 2 - hk / 2)
+        tgt[:, 1] = c[:, 1] - 2 * w
+        tgt[:, 2] = z
+        return tgt
+
+    for _ in range(40):
+        err = tool_target(0.08) - tool()
+        sv.act(np.clip(err * 2.5, -0.35, 0.35), grip=-1.0)
+    for _ in range(18):
+        err = tool_target(0.012) - tool()
+        sv.act(np.clip(err * 2.0, -0.2, 0.2), grip=-1.0)
+    # drag back toward the robot base
+    for _ in range(55):
+        d = np.tile(np.array([-0.30, 0.0, 0.0], np.float32), (B, 1))
+        sv.act(d, grip=-1.0)
+    sv.hold(4, grip=-1.0)
+    return sv.success()
+
+
+def solve_draw_outline(env, recorder=None, settle_steps: int = 2):
+    """DrawTriangle-v1 / DrawSVG-v1 (reference solutions/draw_triangle.py,
+    draw_svg.py): lower the stick to the canvas and trace each env's
+    per-episode outline point list (stored in ``extras['outline']``)."""
+    assert env.control_mode == "pd_ee_delta_pos"
+    sv = _PoseServo(env, recorder)
+    B = env.num_envs
+    outline = np.asarray(env._state.extras["outline"])  # (B, R, 2)
+    R = outline.shape[1]
+    zdraw = env.CANVAS_THICKNESS + env.DOT_THICKNESS / 2
+
+    def tgt(i, z):
+        return np.concatenate(
+            [outline[:, i], np.full((B, 1), z, np.float32)], 1)
+
+    # hover over the first outline point, then touch down
+    sv.to(lambda: tgt(0, 0.05), steps=20)
+    sv.to(lambda: tgt(0, zdraw), steps=10, gain=2.5)
+    for i in range(R):
+        sv.to(lambda i=i: tgt(i, zdraw), steps=settle_steps, gain=4.0,
+              clip=0.5)
+    # revisit the start to close the loop
+    sv.to(lambda: tgt(0, zdraw), steps=settle_steps, gain=4.0, clip=0.5)
+    return sv.success()
+
+
+def solve_fold_suitcase(env, recorder=None):
+    """FoldSuitcase-v1 (reference solutions/fold_suitcase.py): press the
+    open lid along its closing arc until the hinge passes the target
+    angle. Presses at ~40% from the hinge (smaller reach envelope than the
+    lid tip; the panda cannot reach past the far edge)."""
+    assert env.control_mode in ("pd_ee_delta_pos", "pd_ee_delta_pose")
+    sv = _PoseServo(env, recorder)
+    B = env.num_envs
+
+    def lid_state():
+        s = env._state
+
+        def f(st):
+            ctx = TaskContext(env, st)
+            b = env._lid_body
+            return ctx.body_pos[b], ctx.body_quat[b]
+
+        p, q = jax.vmap(f)(s)
+        return np.asarray(p), np.asarray(q)
+
+    def press_point_and_dir(frac=0.45):
+        p, q = lid_state()
+        # lid frame: panel extends along -x from the hinge
+        off = np.tile(
+            np.array([-2.0 * env.lid_half[0] * frac, 0.0,
+                      env.lid_half[2] + 0.01], np.float32), (B, 1))
+        pt = p + _quat_apply_np(q, off)
+        r = pt - p  # hinge == body origin (revolute joint frame)
+        t = -np.cross(np.tile(np.array([0.0, 1.0, 0.0]), (B, 1)), r)
+        t = t / np.linalg.norm(t, axis=1, keepdims=True).clip(1e-9)
+        return pt, t
+
+    # approach from ABOVE the press point (an approach along the closing
+    # tangent passes through the panel and shoves the lid open)
+    for _ in range(35):
+        pt, t = press_point_and_dir()
+        tcp, _ = _tcp_pose(env)
+        above = pt + np.array([0.0, 0.0, 0.06], np.float32)
+        sv.act(np.clip((above - tcp) * 2.5, -0.5, 0.5), grip=-1.0)
+    # press through the lid along the closing tangent until closed
+    # (~1.6 rad of arc at a few hundredths rad/step)
+    for _ in range(150):
+        pt, t = press_point_and_dir()
+        tcp, _ = _tcp_pose(env)
+        sv.act(np.clip((pt + t * 0.04 - tcp) * 3.0, -0.3, 0.3),
+               grip=-1.0)
+    sv.hold(4, grip=-1.0)
+    return sv.success()
+
+
 SOLUTIONS = {
     "PickCube-v1": solve_pick_cube,
     "PushCube-v1": solve_push_cube,
     "PullCube-v1": solve_pull_cube,
     "StackCube-v1": solve_stack_cube,
+    "RollBall-v1": solve_roll_ball,
+    "PickSingleHull-v1": solve_pick_object,
+    "PickCubeYCB-v1": solve_pick_object,
+    "LiftPegUpright-v1": solve_lift_peg_upright,
+    "PegInsertionSide-v1": solve_peg_insertion_side,
+    "PlugCharger-v1": solve_plug_charger,
+    "PullCubeTool-v1": solve_pull_cube_tool,
+    "DrawTriangle-v1": solve_draw_outline,
+    "DrawSVG-v1": solve_draw_outline,
+    "FoldSuitcase-v1": solve_fold_suitcase,
+}
+
+# control mode each solution drives (default pd_ee_delta_pos)
+CONTROL_MODES = {
+    "LiftPegUpright-v1": "pd_ee_delta_pose",
+    "PegInsertionSide-v1": "pd_ee_delta_pose",
+    "PlugCharger-v1": "pd_ee_delta_pose",
 }
