@@ -89,6 +89,154 @@ def _scatter_distractors(env, state, key, z=0.05):
     return state.replace(sim=sim)
 
 
+@register_env("PickClutterYCB-v1", max_episode_steps=100)
+class PickClutterYCBEnv(PickCubeEnv):
+    """Reference ``tabletop/pick_clutter_ycb.py:23,190``: pick a target
+    object out of a CLUTTER of YCB objects.
+
+    TPU-native redesign of the reference's episode machinery:
+
+    - the reference samples clutter layouts from a 5k-episode JSON
+      (``ycb_train_5k.json.gz``, download-only) and rebuilds per-scene
+      actors (:104-145); here each of ``K_CLUTTER`` hull slots selects a
+      per-env model from the YCB/procedural library through the SimState
+      hull tables — layouts are sampled procedurally (spaced anchors +
+      jitter + random permutation), zero recompiles across resets.
+    - ``target_object`` = per-env random choice among the clutter slots
+      (reference ``_sample_target_objects`` :147-158).
+    - goal position box matches :164-166
+      (``U[0,1]*[0.3,0.5,0.1] + [-0.15,-0.25,0.35]``).
+    - the reference's ``evaluate`` is a stub (success always False,
+      :179-183) and it supports only reward_mode "none" (:26); we keep
+      "none" as the DEFAULT for parity but additionally provide a real
+      success signal (target within ``goal_thresh`` of the goal + robot
+      static) and a staged dense reward as a strict extension.
+    """
+
+    K_CLUTTER = 5
+    _ANCHORS = np.array(
+        [[0.03, -0.21], [0.03, 0.0], [0.03, 0.21],
+         [-0.13, -0.11], [-0.13, 0.11]], np.float32)
+
+    def __init__(self, *args, reward_mode: str = "none",
+                 model_ids=None, **kwargs):
+        from ...physics.hulls import pad_library
+        from ...utils.building import ycb_or_procedural_library
+
+        self._lib = ycb_or_procedural_library(model_ids)
+        (self._verts_t, self._faces_t, self._vol_t, self._inert_t,
+         self._aabb_t) = pad_library(self._lib)
+        super().__init__(*args, reward_mode=reward_mode, **kwargs)
+
+    def _load_scene(self, builder: SceneSpecBuilder):
+        self.table_scene.build(builder)
+        self.objs = []
+        for i in range(self.K_CLUTTER):
+            self.objs.append(builder.add_free_hull(
+                f"obj{i}", self._lib[i % len(self._lib)], density=1000.0,
+                friction=0.8))
+        self.goal_site = builder.add_kinematic_body("goal_site")
+
+    def _post_build(self):
+        self._graspers = [
+            self.agent.build_grasp_checker(self.model, f"obj{i}")
+            for i in range(self.K_CLUTTER)
+        ]
+
+    def _default_extras(self):
+        ex = super()._default_extras()
+        ex["model_ids"] = jnp.zeros((self.K_CLUTTER,), jnp.int32)
+        ex["target_idx"] = jnp.zeros((), jnp.int32)
+        return ex
+
+    def _initialize_episode(self, state: EnvState, key) -> EnvState:
+        kp, km, kt, kg = jax.random.split(key, 4)
+        K = self.K_CLUTTER
+        mids = jax.random.randint(km, (K,), 0, len(self._lib))
+        perm = jax.random.permutation(kp, K)
+        jit_xy = jax.random.uniform(
+            jax.random.fold_in(kp, 1), (K, 2), minval=-0.03, maxval=0.03)
+        anchors = jnp.asarray(self._ANCHORS)[perm] + jit_xy
+        sim = state.sim
+        verts_t = jnp.asarray(self._verts_t)
+        faces_t = jnp.asarray(self._faces_t)
+        vol_t = jnp.asarray(self._vol_t)
+        inert_t = jnp.asarray(self._inert_t)
+        aabb_t = jnp.asarray(self._aabb_t)
+        for i, idx in enumerate(self.objs):
+            mid = mids[i]
+            pose = jnp.concatenate([
+                anchors[i], aabb_t[mid, 2][None],
+                jnp.array([1.0, 0, 0, 0])])
+            sim = sim.replace(
+                hull_verts=sim.hull_verts.at[i].set(verts_t[mid]),
+                hull_faces=sim.hull_faces.at[i].set(faces_t[mid]),
+                free_mass=sim.free_mass.at[idx].set(vol_t[mid] * 1000.0),
+                free_inertia=sim.free_inertia.at[idx].set(
+                    inert_t[mid] * 1000.0),
+                free_pose=sim.free_pose.at[idx].set(pose),
+                free_vel=sim.free_vel.at[idx].set(jnp.zeros(6)),
+                geom_size=sim.geom_size.at[
+                    self.model.geom_indices(f"obj{i}")[0]].set(aabb_t[mid]),
+            )
+        tidx = jax.random.randint(kt, (), 0, K)
+        goal = (jax.random.uniform(kg, (3,)) * jnp.array([0.3, 0.5, 0.1])
+                + jnp.array([-0.15, -0.25, 0.35]))
+        sim = sim.replace(
+            kin_pose=sim.kin_pose.at[self.goal_site].set(
+                jnp.concatenate([goal, jnp.array([1.0, 0, 0, 0])])))
+        extras = dict(state.extras)
+        extras["model_ids"] = mids
+        extras["target_idx"] = tidx
+        return state.replace(sim=sim, extras=extras)
+
+    def _target_pos(self, state, ctx):
+        ps = jnp.stack([ctx.actor_pose(f"obj{i}").p
+                        for i in range(self.K_CLUTTER)])
+        return ps[state.extras["target_idx"]]
+
+    def evaluate(self, state: EnvState, ctx: TaskContext):
+        tgt = self._target_pos(state, ctx)
+        goal = ctx.actor_pose("goal_site").p
+        is_obj_placed = jnp.linalg.norm(goal - tgt) <= self.goal_thresh
+        f_pt = ctx.contact_forces()
+        grasped = jnp.stack([g(ctx.body_quat, f_pt) for g in self._graspers])
+        is_grasped = grasped[state.extras["target_idx"]]
+        is_robot_static = self.agent.is_static(state.sim.qvel, 0.2)
+        return dict(
+            success=is_obj_placed & is_robot_static,
+            is_obj_placed=is_obj_placed,
+            is_robot_static=is_robot_static,
+            is_grasped=is_grasped,
+        )
+
+    def _get_obs_extra(self, state: EnvState, ctx: TaskContext, info):
+        # reference _get_obs_extra returns {} (:185-187, visual task); the
+        # state-mode extras below are an extension for state-based agents
+        obs = dict(
+            tcp_pose=ctx.tcp_pose.raw,
+            goal_pos=ctx.actor_pose("goal_site").p,
+        )
+        if "state" in self.obs_mode:
+            obs.update(
+                target_pos=self._target_pos(state, ctx),
+                target_idx=state.extras["target_idx"].astype(jnp.float32),
+            )
+        return obs
+
+    def compute_dense_reward(self, state, action, info, ctx: TaskContext):
+        tgt = self._target_pos(state, ctx)
+        goal = ctx.actor_pose("goal_site").p
+        reach = 1.0 - jnp.tanh(5.0 * jnp.linalg.norm(tgt - ctx.tcp_pose.p))
+        is_grasped = info["is_grasped"].astype(jnp.float32)
+        place = 1.0 - jnp.tanh(5.0 * jnp.linalg.norm(goal - tgt))
+        reward = reach + is_grasped + place * is_grasped
+        qvel_arm = state.sim.qvel[:-2]
+        static_r = 1.0 - jnp.tanh(5.0 * jnp.linalg.norm(qvel_arm))
+        reward = reward + static_r * info["is_obj_placed"].astype(jnp.float32)
+        return jnp.where(info["success"], 5.0, reward)
+
+
 @register_env("PickCubeYCB-v1", max_episode_steps=50)
 class PickCubeYCBEnv(PickCubeEnv):
     """Fork pick_cube_ycb.py: PickCube amid YCB-class clutter."""

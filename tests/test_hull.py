@@ -160,3 +160,31 @@ def test_pick_single_hull_env():
     env.reset(options=dict(env_idx=jnp.array([0])))
     ids1 = np.asarray(env._state.extras["model_id"])
     assert (ids1[1:] == ids0[1:]).all()
+
+
+@pytest.mark.slow  # 5-hull clutter scene: heavy cold compile
+def test_pick_clutter_ycb_env():
+    """PickClutterYCB-v1 (reference pick_clutter_ycb.py:23,190): per-env
+    clutter of 5 hull objects with per-env model selection + per-env
+    target choice; default reward mode is 'none' for reference parity."""
+    import maniskill_tpu as mst
+
+    env = mst.make("PickClutterYCB-v1", num_envs=4)
+    assert env.reward_mode == "none"
+    env.reset(seed=0)
+    mids0 = np.asarray(env._state.extras["model_ids"]).copy()  # (4, 5)
+    tidx0 = np.asarray(env._state.extras["target_idx"]).copy()
+    # clutter model selection varies across envs
+    assert len({tuple(r) for r in mids0.tolist()}) >= 2
+    rng = np.random.RandomState(0)
+    for _ in range(5):
+        obs, rew, term, trunc, info = env.step(env.sample_action(rng))
+    assert np.isfinite(np.asarray(obs)).all()
+    assert np.asarray(rew).shape == (4,)  # reward-mode none -> zeros
+    assert not np.asarray(info["success"]).any()  # nothing solved randomly
+    # partial reset resamples only the chosen envs
+    env.reset(options=dict(env_idx=jnp.array([0])))
+    mids1 = np.asarray(env._state.extras["model_ids"])
+    tidx1 = np.asarray(env._state.extras["target_idx"])
+    assert (mids1[1:] == mids0[1:]).all()
+    assert (tidx1[1:] == tidx0[1:]).all()
