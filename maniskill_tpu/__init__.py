@@ -17,28 +17,11 @@ import jax as _jax
 # sequential graphs whose (remote) TPU compiles take minutes — cache them
 # across processes. Opt out with MANISKILL_TPU_NO_CACHE=1.
 if not _os.environ.get("MANISKILL_TPU_NO_CACHE"):
-    import sys as _sys
+    # cache keyed by environment kind AND host CPU features — serialized
+    # XLA:CPU executables mis-execute across feature drift (see _cache.py)
+    from ._cache import configure as _configure_cache
 
-    # the axon-site environment compiles CPU executables with different
-    # target features (+prefer-no-scatter …) than a bare environment; its
-    # cached AOT artifacts MIS-EXECUTE when loaded bare (observed: wrong
-    # contact impulses). Keep per-environment caches.
-    _axon = any(".axon_site" in p for p in _sys.path) or (
-        ".axon_site" in _os.environ.get("PYTHONPATH", "")
-    )
-    _cache_dir = _os.environ.get(
-        "MANISKILL_TPU_CACHE_DIR",
-        _os.path.join(
-            _os.path.dirname(_os.path.abspath(__file__)), "..",
-            ".jax_cache" if _axon else ".jax_cache_bare",
-        ),
-    )
-    try:
-        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception:  # pragma: no cover - older jax
-        pass
+    _configure_cache(_jax)
 
 from .envs.registration import REGISTERED_ENVS, make, register_env
 

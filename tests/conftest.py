@@ -19,18 +19,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-# persistent compilation cache: repeat test runs skip XLA recompiles.
-# The axon-site environment compiles with different CPU target features
-# (+prefer-no-scatter etc.); its cache entries mis-execute when loaded in a
-# bare environment (observed: wrong physics from a feature-mismatched AOT
-# artifact) — keep the two environments' caches separate.
-_repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-_axon = any(".axon_site" in p for p in sys.path) or (
-    ".axon_site" in os.environ.get("PYTHONPATH", "")
-)
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(_repo, ".jax_cache" if _axon else ".jax_cache_bare"),
-)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# persistent compilation cache: repeat test runs skip XLA recompiles. The
+# directory is keyed by environment kind AND host CPU features — serialized
+# CPU executables mis-execute across feature drift (maniskill_tpu/_cache.py)
+from maniskill_tpu._cache import configure as _configure_cache
+
+_configure_cache(jax)
