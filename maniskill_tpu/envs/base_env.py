@@ -286,11 +286,15 @@ class BaseEnv:
         if self.obs_mode in ("depth", "pointcloud", "sensor_data", "rgb",
                              "rgbd"):
             from ..sensors.camera import Camera
+            from ..sensors.depth_camera import (StereoDepthCamera,
+                                                StereoDepthCameraConfig)
 
             cfgs = list(self._default_sensor_configs())
             cfgs += list(getattr(self.agent, "_sensor_configs", []))
             for cfg in cfgs:
-                self._sensors[cfg.uid] = Camera(cfg, self.model)
+                cls = (StereoDepthCamera
+                       if isinstance(cfg, StereoDepthCameraConfig) else Camera)
+                self._sensors[cfg.uid] = cls(cfg, self.model)
         self._post_build()
 
         # action space (flat Box like reference CombinedController)

@@ -1,1 +1,2 @@
 from .camera import Camera, CameraConfig
+from .depth_camera import StereoDepthCamera, StereoDepthCameraConfig
