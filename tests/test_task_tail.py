@@ -45,6 +45,47 @@ def test_env_count_exceeds_reference():
     assert len(REGISTERED_ENVS) >= 75
 
 
+# every ACTIVE @register_env id in /root/reference/mani_skill/envs
+# (73 unique; commented-out registrations — MS-CartPole, MS-Humanoid*Hard —
+# excluded). Verified against the reference tree by regex extraction.
+REFERENCE_ENV_IDS = [
+    "AnymalC-Reach-v1", "AnymalC-Spin-v1", "ArchitecTHORManipulation-v1",
+    "AssemblingKits-v1", "CustomEnv-v1", "DrawSVG-v1", "DrawTriangle-v1",
+    "Empty-v1", "FMBAssembly1Easy-v1", "FoldSuitcase-v1",
+    "LiftPegUpright-v1", "MS-AntRun-v1", "MS-AntWalk-v1",
+    "MS-CartpoleBalance-v1", "MS-CartpoleSwingUp-v1", "MS-HopperHop-v1",
+    "MS-HopperStand-v1", "MS-HumanoidRun-v1", "MS-HumanoidStand-v1",
+    "MS-HumanoidWalk-v1", "MobileRMPick-v1", "OpenCabinetDoor-v1",
+    "OpenCabinetDoorRealman-v1", "OpenCabinetDrawer-v1",
+    "OpenCabinetDrawerRealman-v1", "PegInsertionSide-v1",
+    "PickClutterYCB-v1", "PickCube-v1", "PickCubeYCB-v1",
+    "PickSingleYCB-v1", "PlaceSphere-v1", "PlugCharger-v1", "PokeCube-v1",
+    "PullCube-v1", "PullCubeTool-v1", "PushCube-v1", "PushT-v1",
+    "PutCarrotOnPlateInScene-v1", "PutEggplantInBasketScene-v1",
+    "PutSpoonOnTableClothInScene-v1", "RoboCasaKitchen-v1", "RollBall-v1",
+    "RotateSingleObjectInHandLevel0-v1", "RotateSingleObjectInHandLevel1-v1",
+    "RotateSingleObjectInHandLevel2-v1", "RotateSingleObjectInHandLevel3-v1",
+    "RotateValveLevel0-v1", "RotateValveLevel1-v1", "RotateValveLevel2-v1",
+    "RotateValveLevel3-v1", "RotateValveLevel4-v1", "SceneManipulation-v1",
+    "StackCube-v1", "StackGreenCubeOnYellowCubeBakedTexInScene-v1",
+    "TableTopFreeDraw-v1", "TriFingerRotateCubeLevel0-v1",
+    "TriFingerRotateCubeLevel1-v1", "TriFingerRotateCubeLevel2-v1",
+    "TriFingerRotateCubeLevel3-v1", "TriFingerRotateCubeLevel4-v1",
+    "TurnFaucet-v1", "TwoRobotFold-v1", "TwoRobotPickCube-v1",
+    "TwoRobotPickCubeYCB-v1", "TwoRobotStackCube-v1",
+    "UnitreeG1PlaceAppleInBowl-v1", "UnitreeG1Stand-v1",
+    "UnitreeG1TransportBox-v1", "UnitreeGo2-Reach-v1", "UnitreeH1Stand-v1",
+]
+
+
+def test_reference_env_id_parity():
+    """Every active reference env id is registered here (PARITY.md §2.4)."""
+    from maniskill_tpu.envs.registration import REGISTERED_ENVS
+
+    missing = [e for e in REFERENCE_ENV_IDS if e not in REGISTERED_ENVS]
+    assert not missing, f"reference env ids missing: {missing}"
+
+
 def test_roll_ball_success_when_teleported():
     import jax.numpy as jnp
 
