@@ -44,6 +44,8 @@ class CameraConfig:
     near: float = 0.01
     far: float = 100.0
     mount: Optional[str] = None  # robot frame/link name
+    shader_pack: Optional[str] = None  # named pack (sensors/shaders.py);
+    # None = "default"
 
 
 def _ray_dirs(cfg: CameraConfig) -> np.ndarray:
@@ -133,6 +135,45 @@ def _ray_capsule(o, d, r, hl):
     return jnp.minimum(t_cyl, jnp.minimum(t_top, t_bot))
 
 
+def _geom_ray(g, state, gi, o, d):
+    """Intersect rays (geom-frame origin ``o``, dirs ``d``) with one geom.
+    Returns (t (N,), local normal (N, 3))."""
+    N = o.shape[0]
+    size = state.geom_size[gi]
+    if g.gtype == GeomType.PLANE:
+        t = _ray_plane(o, d)
+        n_loc = jnp.broadcast_to(jnp.array([0.0, 0, 1.0]), (N, 3))
+    elif g.gtype == GeomType.SPHERE:
+        t = _ray_sphere(o, d, size[0])
+        hit = o + t[:, None] * d
+        n_loc = hit / jnp.maximum(size[0], 1e-9)
+    elif g.gtype == GeomType.BOX:
+        t = _ray_box(o, d, size)
+        hit = o + t[:, None] * d
+        rel = jnp.abs(hit) / jnp.maximum(size[None, :], 1e-9)
+        mx = jnp.max(rel, axis=-1, keepdims=True)
+        oh = (rel >= mx).astype(hit.dtype)
+        oh = oh / jnp.sum(oh, axis=-1, keepdims=True)
+        n_loc = oh * jnp.sign(hit)
+    elif g.gtype in (GeomType.CAPSULE, GeomType.CYLINDER):
+        t = _ray_capsule(o, d, size[0], size[1])
+        hit = o + t[:, None] * d
+        zc = jnp.clip(hit[:, 2], -size[1], size[1])
+        axis_pt = jnp.stack(
+            [jnp.zeros_like(zc), jnp.zeros_like(zc), zc], axis=-1
+        )
+        dvec = hit - axis_pt
+        n_loc = dvec / jnp.sqrt(
+            jnp.sum(dvec * dvec, axis=-1, keepdims=True) + 1e-18
+        )
+    elif g.gtype == GeomType.HULL:
+        t, n_loc = _ray_hull(o, d, state.hull_faces[g.hull])
+    else:
+        t = jnp.full(N, jnp.inf)
+        n_loc = jnp.zeros((N, 3))
+    return t, n_loc
+
+
 class Camera:
     """Depth/segmentation/pointcloud sensor over a SceneModel's geoms
     (reference Camera.get_obs, camera.py:191)."""
@@ -140,6 +181,9 @@ class Camera:
     def __init__(self, cfg: CameraConfig, model: SceneModel):
         self.cfg = cfg
         self.model = model
+        from .shaders import get_shader_config
+
+        self.shader = get_shader_config(getattr(cfg, "shader_pack", None))
         self._dirs = _ray_dirs(cfg)  # (N, 3) camera frame
         pose = np.asarray(cfg.pose, np.float32)
         self._cam_p = pose[:3]
@@ -184,38 +228,7 @@ class Camera:
             o = quat_apply(quat_conjugate(gq)[None], cam_p[None] - gp[None])
             o = jnp.broadcast_to(o, (N, 3))
             d = quat_apply(quat_conjugate(gq)[None], dirs_w)
-            size = state.geom_size[gi]
-            if g.gtype == GeomType.PLANE:
-                t = _ray_plane(o, d)
-                n_loc = jnp.broadcast_to(jnp.array([0.0, 0, 1.0]), (N, 3))
-            elif g.gtype == GeomType.SPHERE:
-                t = _ray_sphere(o, d, size[0])
-                hit = o + t[:, None] * d
-                n_loc = hit / jnp.maximum(size[0], 1e-9)
-            elif g.gtype == GeomType.BOX:
-                t = _ray_box(o, d, size)
-                hit = o + t[:, None] * d
-                rel = jnp.abs(hit) / jnp.maximum(size[None, :], 1e-9)
-                mx = jnp.max(rel, axis=-1, keepdims=True)
-                oh = (rel >= mx).astype(hit.dtype)
-                oh = oh / jnp.sum(oh, axis=-1, keepdims=True)
-                n_loc = oh * jnp.sign(hit)
-            elif g.gtype in (GeomType.CAPSULE, GeomType.CYLINDER):
-                t = _ray_capsule(o, d, size[0], size[1])
-                hit = o + t[:, None] * d
-                zc = jnp.clip(hit[:, 2], -size[1], size[1])
-                axis_pt = jnp.stack(
-                    [jnp.zeros_like(zc), jnp.zeros_like(zc), zc], axis=-1
-                )
-                dvec = hit - axis_pt
-                n_loc = dvec / jnp.sqrt(
-                    jnp.sum(dvec * dvec, axis=-1, keepdims=True) + 1e-18
-                )
-            elif g.gtype == GeomType.HULL:
-                t, n_loc = _ray_hull(o, d, state.hull_faces[g.hull])
-            else:
-                t = jnp.full(N, jnp.inf)
-                n_loc = jnp.zeros((N, 3))
+            t, n_loc = _geom_ray(g, state, gi, o, d)
             nan_safe = jnp.where(jnp.isfinite(t)[:, None], n_loc, 0.0)
             ts.append(t)
             normals.append(quat_apply(gq[None], nan_safe))
@@ -238,25 +251,46 @@ class Camera:
         fwd = quat_apply(cam_q, jnp.array([1.0, 0.0, 0.0]))
         depth = t_hit * (dirs_w @ fwd)
         H, W = cfg.height, cfg.width
-        # flat-shaded Lambert RGB over a per-geom palette (no textures /
-        # materials — the geometry channel of the reference's "minimal"
-        # shader pack; rgb/rgbd obs modes). Unused outputs are DCE'd.
-        light = jnp.array([-0.45, -0.3, -0.84])
+        # Lambert RGB over a per-geom palette, shaded per the camera's
+        # shader pack (sensors/shaders.py — the reference ShaderConfig
+        # analogue, render/shaders.py:11,67). Unused outputs are DCE'd.
+        shader = self.shader
         base = jnp.asarray(self._palette)  # (G+1, 3) incl. background
-        ndl = jnp.maximum(-jnp.sum(n_world * light[None], axis=-1), 0.0)
-        shade = 0.45 + 0.55 * ndl
-        col = base[seg.astype(jnp.int32)] * shade[:, None]
+        shade = jnp.full(N, shader.ambient)
+        for light_dir, intensity in shader.lights:
+            light = jnp.asarray(np.asarray(light_dir, np.float32))
+            light = light / jnp.linalg.norm(light)
+            ndl = jnp.maximum(-jnp.sum(n_world * light[None], axis=-1), 0.0)
+            if shader.shadows:
+                # one shadow ray per pixel toward the light: origin just
+                # off the surface, direction -light; any hit occludes
+                so = jnp.where(jnp.isfinite(pts), pts, 0.0) + n_world * 1e-3
+                sd = jnp.broadcast_to(-light[None], (N, 3))
+                t_sh = jnp.full(N, jnp.inf)
+                for gi, g in enumerate(model.geoms):
+                    gq, gp = gquat[gi], gpos[gi]
+                    o_l = quat_apply(quat_conjugate(gq)[None], so - gp[None])
+                    d_l = quat_apply(quat_conjugate(gq)[None], sd)
+                    t_g, _ = _geom_ray(g, state, gi, o_l, d_l)
+                    t_sh = jnp.minimum(t_sh, t_g)
+                lit = ~jnp.isfinite(t_sh)
+                ndl = ndl * lit.astype(jnp.float32)
+            shade = shade + (1.0 - shader.ambient) * intensity * ndl
+        col = base[seg.astype(jnp.int32)] * jnp.clip(shade, 0.0, 1.0)[:, None]
         rgb = jnp.where(
             jnp.isfinite(t_hit)[:, None], col, jnp.zeros(3)
         )
         rgb_u8 = jnp.clip(rgb * 255.0, 0, 255).astype(jnp.uint8)
-        return dict(
+        out = dict(
             depth=depth.reshape(H, W),
             segmentation=seg.reshape(H, W),
             position=pts.reshape(H, W, 3),
             rgb=rgb_u8.reshape(H, W, 3),
             normal=n_world.reshape(H, W, 3),
         )
+        if shader.texture_names is not None:
+            out = {k: v for k, v in out.items() if k in shader.texture_names}
+        return out
 
     def get_params(self):
         """Intrinsics/extrinsics (reference Camera.get_params, camera.py:281)."""
