@@ -81,3 +81,29 @@ class CartPoleRobot(BaseAgent):
             joint_names=["hinge_1"], damping=0.0, friction=0.0
         )
         return dict(pd_joint_delta_pos=dict(slider=slider, rest=rest))
+
+
+@register_agent
+class CartPoleVisualRobot(CartPoleRobot):
+    """Cartpole with RENDERABLE geoms (cart box + pole capsule, matching
+    the reference cartpole.xml visuals) for the visual-throughput
+    benchmark. Contact stays disabled at the SCENE level (the benchmark
+    env excludes every pair), so dynamics are identical to
+    :class:`CartPoleRobot`."""
+
+    uid = "cart_pole_visual"
+
+    def collision_geoms(self):
+        from ..base_agent import _GEOM_TYPE_BY_NAME
+
+        ident = np.array([1, 0, 0, 0], np.float32)
+        return [
+            dict(link="cart", type=_GEOM_TYPE_BY_NAME["box"],
+                 size=np.array([0.2, 0.15, 0.1], np.float32),
+                 offset_p=np.zeros(3, np.float32), offset_q=ident,
+                 friction=0.5),
+            dict(link="pole_1", type=_GEOM_TYPE_BY_NAME["capsule"],
+                 size=np.array([0.045, 0.5, 0.0], np.float32),
+                 offset_p=np.array([0, 0, 0.5], np.float32), offset_q=ident,
+                 friction=0.5),
+        ]

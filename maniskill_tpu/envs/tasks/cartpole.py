@@ -97,7 +97,46 @@ class CartpoleSwingUpEnv(CartpoleEnv):
 class CartpoleBalanceBenchmarkEnv(CartpoleBalanceEnv):
     """Reference perf-suite variant
     (``examples/benchmarking/envs/maniskill/cartpole.py:62``): sim 120 Hz /
-    control 60 Hz."""
+    control 60 Hz. ``camera_width/height/num_cameras`` kwargs mirror the
+    reference benchmark driver's --cam-width/--cam-height/--num-cams
+    (``gpu_sim.py:19-34``) for the visual-throughput matrix."""
 
     SIM_FREQ = 120
     CONTROL_FREQ = 60
+    # the reference benchmark runs this scene across the full visual
+    # obs-mode matrix (gpu_sim.py obs_mode arg)
+    SUPPORTED_OBS_MODES = ("state", "state_dict", "none", "rgb", "depth",
+                           "rgbd", "sensor_data", "pointcloud")
+    SUPPORTED_ROBOTS = ["cart_pole", "cart_pole_visual"]
+    DEFAULT_ROBOT = "cart_pole_visual"
+
+    def __init__(self, *args, camera_width: int = 128,
+                 camera_height: int = 128, num_cameras: int = 1, **kwargs):
+        self._cam_wh = (int(camera_width), int(camera_height))
+        self._num_cams = int(num_cameras)
+        super().__init__(*args, **kwargs)
+
+    def _load_scene(self, builder: SceneSpecBuilder):
+        # renderable floor; contact stays DISABLED (reference cartpole.xml
+        # contact="disable") — every pair is excluded, P stays 0, only the
+        # camera sees these geoms
+        from ...physics.model import plane_geom
+
+        builder.add_static_body(
+            "floor", np.array([0, 0, 0, 1, 0, 0, 0], np.float32),
+            [plane_geom()],
+        )
+        builder.exclude_groups(["robot:*", "floor"], ["robot:*", "floor"])
+
+    def _default_sensor_configs(self):
+        from ...math.pose import look_at
+        from ...sensors.camera import CameraConfig
+
+        w, h = self._cam_wh
+        pose = np.asarray(look_at(eye=[0.0, -4.0, 1.2],
+                                  target=[0.0, 0.0, 1.0]).raw)
+        return [
+            CameraConfig(f"base_camera{'' if i == 0 else i}", pose, w, h,
+                         fov=np.pi / 3)
+            for i in range(self._num_cams)
+        ]
