@@ -161,13 +161,28 @@ class LinkView:
         model = self._ctx.env.model
         from ..physics.model import BodyKind
 
+        from ..math.rotations import quat_to_matrix
+        from ..physics.shapes import GeomType
+
         lo = np.full(3, np.inf)
         hi = np.full(3, -np.inf)
         for g in model.geoms:
             if g.kind == BodyKind.ROBOT_LINK and g.body == self.index:
-                r = float(np.max(g.size))
-                lo = np.minimum(lo, g.offset_p - r)
-                hi = np.maximum(hi, g.offset_p + r)
+                # per-type local half extents, rotated into the link frame
+                # via |R| @ h (exact for boxes; conservative hull for
+                # capsules/spheres)
+                if g.gtype == GeomType.SPHERE:
+                    h = np.array([g.size[0]] * 3, np.float64)
+                elif g.gtype in (GeomType.CAPSULE, GeomType.CYLINDER):
+                    r, hl = float(g.size[0]), float(g.size[1])
+                    h = np.array([r, r, hl + r])
+                else:  # BOX and HULL (hull g.size = aabb_half)
+                    h = np.asarray(g.size, np.float64)
+                R = np.abs(np.asarray(quat_to_matrix(
+                    np.asarray(g.offset_q, np.float64))))
+                he = R @ h
+                lo = np.minimum(lo, np.asarray(g.offset_p) - he)
+                hi = np.maximum(hi, np.asarray(g.offset_p) + he)
         if not np.isfinite(lo).all():
             return np.zeros(3, np.float32)
         return ((hi - lo) / 2).astype(np.float32)

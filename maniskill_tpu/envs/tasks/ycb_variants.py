@@ -37,6 +37,17 @@ from .two_robot import TwoRobotPickCubeEnv
 from .transport_box import TransportBoxEnv
 
 
+def _set_hull_library_on(env, model_ids):
+    """Load the YCB (or procedural fallback) hull library onto ``env`` as
+    the padded index-selectable tables every per-env-model task consumes."""
+    from ...physics.hulls import pad_library
+    from ...utils.building import ycb_or_procedural_library
+
+    env._lib = ycb_or_procedural_library(model_ids)
+    (env._verts_t, env._faces_t, env._vol_t, env._inert_t,
+     env._aabb_t) = pad_library(env._lib)
+
+
 @register_env("PickSingleYCB-v1", max_episode_steps=50)
 class PickSingleYCBEnv(PickSingleHullEnv):
     """The reference id for heterogeneous single-object pickup. With the
@@ -46,18 +57,11 @@ class PickSingleYCBEnv(PickSingleHullEnv):
     otherwise procedural stand-ins keep the env runnable offline."""
 
     def __init__(self, *args, model_ids=None, **kwargs):
-        self._requested_model_ids = model_ids
         super().__init__(*args, **kwargs)
         # PickSingleHullEnv.__init__ set the procedural library before
         # building; swapping the TABLES post-build is safe (same padded
         # shapes) and per-env selection happens at episode init
-        from ...physics.hulls import pad_library
-        from ...utils.building import ycb_or_procedural_library
-
-        lib = ycb_or_procedural_library(model_ids)
-        self._lib = lib
-        (self._verts_t, self._faces_t, self._vol_t, self._inert_t,
-         self._aabb_t) = pad_library(lib)
+        _set_hull_library_on(self, model_ids)
 
 
 def _add_distractors(builder, n=2):
@@ -120,12 +124,7 @@ class PickClutterYCBEnv(PickCubeEnv):
 
     def __init__(self, *args, reward_mode: str = "none",
                  model_ids=None, **kwargs):
-        from ...physics.hulls import pad_library
-        from ...utils.building import ycb_or_procedural_library
-
-        self._lib = ycb_or_procedural_library(model_ids)
-        (self._verts_t, self._faces_t, self._vol_t, self._inert_t,
-         self._aabb_t) = pad_library(self._lib)
+        _set_hull_library_on(self, model_ids)
         super().__init__(*args, reward_mode=reward_mode, **kwargs)
 
     def _load_scene(self, builder: SceneSpecBuilder):

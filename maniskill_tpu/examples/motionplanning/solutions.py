@@ -47,7 +47,7 @@ def _actor_pose(env, actor: str) -> Tuple[np.ndarray, np.ndarray]:
 
 def _quat_apply_np(q: np.ndarray, v: np.ndarray) -> np.ndarray:
     """Batched quaternion rotation (B, 4) x (B, 3) -> (B, 3)."""
-    w, x, y, z = q[:, 0:1], q[:, 1:2], q[:, 2:3], q[:, 3:4]
+    w = q[:, 0:1]
     uv = 2.0 * np.cross(q[:, 1:], v)
     return v + w * uv + np.cross(q[:, 1:], uv)
 
@@ -460,18 +460,9 @@ def solve_peg_insertion_side(env, recorder=None):
         p, _ = peg()
         return p + peg_x() * Ls
 
-    def tcp_yaw_err():
-        # close the fingers ACROSS the peg: align the tcp x-axis with the
-        # peg long axis (mod pi) about world z
-        _, tq = _tcp_pose(env)
-        tx = _quat_apply_np(tq, np.tile(np.array([1.0, 0, 0]), (B, 1)))
-        a = np.arctan2(peg_x()[:, 1], peg_x()[:, 0])
-        b = np.arctan2(tx[:, 1], tx[:, 0])
-        d = a - b
-        d = (d + np.pi / 2) % np.pi - np.pi / 2
-        out = np.zeros((B, 3), np.float32)
-        out[:, 2] = d
-        return out
+    # close the fingers ACROSS the peg: align the tcp x-axis with the
+    # peg long axis (mod pi) about world z
+    tcp_yaw_err = _tcp_x_across(env, peg_x)
 
     # hover above the peg center with the wrist yawed across the peg
     sv.to(lambda: np.concatenate(
@@ -518,15 +509,11 @@ def solve_plug_charger(env, recorder=None):
         out[:, 2] = -_yaw_of(chg()[1])
         return out
 
-    def tcp_yaw_to_charger():
-        _, tq = _tcp_pose(env)
-        tx = _quat_apply_np(tq, np.tile(np.array([1.0, 0, 0]), (B, 1)))
-        a = _yaw_of(chg()[1])
-        b = np.arctan2(tx[:, 1], tx[:, 0])
-        d = (a - b + np.pi / 2) % np.pi - np.pi / 2
-        out = np.zeros((B, 3), np.float32)
-        out[:, 2] = d
-        return out
+    def charger_x():
+        return _quat_apply_np(chg()[1],
+                              np.tile(np.array([1.0, 0, 0]), (B, 1)))
+
+    tcp_yaw_to_charger = _tcp_x_across(env, charger_x)
 
     # grasp the base from above, fingers across the charger length
     sv.to(lambda: np.concatenate(

@@ -257,21 +257,26 @@ class Camera:
         shader = self.shader
         base = jnp.asarray(self._palette)  # (G+1, 3) incl. background
         shade = jnp.full(N, shader.ambient)
+        if shader.shadows:
+            # light-independent: shadow-ray origins just off the surface,
+            # pre-rotated into each geom's frame once for all lights
+            so = jnp.where(jnp.isfinite(pts), pts, 0.0) + n_world * 1e-3
+            shadow_origins = [
+                quat_apply(quat_conjugate(gquat[gi])[None],
+                           so - gpos[gi][None])
+                for gi in range(len(model.geoms))
+            ]
         for light_dir, intensity in shader.lights:
             light = jnp.asarray(np.asarray(light_dir, np.float32))
             light = light / jnp.linalg.norm(light)
             ndl = jnp.maximum(-jnp.sum(n_world * light[None], axis=-1), 0.0)
             if shader.shadows:
-                # one shadow ray per pixel toward the light: origin just
-                # off the surface, direction -light; any hit occludes
-                so = jnp.where(jnp.isfinite(pts), pts, 0.0) + n_world * 1e-3
+                # one shadow ray per pixel toward the light; any hit occludes
                 sd = jnp.broadcast_to(-light[None], (N, 3))
                 t_sh = jnp.full(N, jnp.inf)
                 for gi, g in enumerate(model.geoms):
-                    gq, gp = gquat[gi], gpos[gi]
-                    o_l = quat_apply(quat_conjugate(gq)[None], so - gp[None])
-                    d_l = quat_apply(quat_conjugate(gq)[None], sd)
-                    t_g, _ = _geom_ray(g, state, gi, o_l, d_l)
+                    d_l = quat_apply(quat_conjugate(gquat[gi])[None], sd)
+                    t_g, _ = _geom_ray(g, state, gi, shadow_origins[gi], d_l)
                     t_sh = jnp.minimum(t_sh, t_g)
                 lit = ~jnp.isfinite(t_sh)
                 ndl = ndl * lit.astype(jnp.float32)

@@ -110,8 +110,10 @@ class StereoDepthCamera(Camera):
             cfg.occlusion_tol * z_safe + 0.005
         )
 
-        # 3. range gating
-        in_range = (z_safe >= cfg.min_depth) & (z_safe <= cfg.far)
+        # 3. range gating — on the EMITTED (quantized) depth, so a surface
+        # near the far plane whose quantized depth lands beyond it cannot
+        # leak out-of-range values to consumers
+        in_range = (z_q >= cfg.min_depth) & (z_q <= cfg.far)
 
         valid = finite & in_right_fov & matched & in_range
         out["depth"] = jnp.where(valid, z_q, 0.0)
