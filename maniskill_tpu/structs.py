@@ -134,6 +134,13 @@ class LinkView:
                 ext = np.array([size[0], size[0], size[0] + size[1]])
             else:  # box and fallback
                 ext = size
+            # rotate the local half extents into the link frame (|R| @ h —
+            # exact for boxes, conservative for capsules)
+            from .math.rotations import quat_to_matrix
+
+            R = np.abs(np.asarray(quat_to_matrix(
+                np.asarray(g.offset_q, np.float64))))
+            ext = R @ ext
             p = np.asarray(g.offset_p)
             lo = np.minimum(lo, p - ext)
             hi = np.maximum(hi, p + ext)
