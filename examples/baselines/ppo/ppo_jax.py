@@ -240,6 +240,9 @@ def main():
     p.add_argument("--update-epochs", type=int, default=4)
     p.add_argument("--num-minibatches", type=int, default=8)
     p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--out-json", default=None,
+                   help="write a training-evidence artifact (final stats, "
+                        "curve samples, steps/s)")
     args = p.parse_args()
 
     env, ts, step_fn, obs, key = make_train(args)
@@ -247,6 +250,8 @@ def main():
     steps_per_iter = args.num_envs * args.num_steps
     iters = args.total_timesteps // steps_per_iter
     t0 = time.time()
+    curve = []
+    stats = None
     for it in range(iters):
         ts, env_state, obs, key, stats = step_fn(ts, env_state, obs, key)
         if it % 10 == 0:
@@ -256,7 +261,31 @@ def main():
                 f"success={float(stats['success_rate']):.3f} sps={sps:.0f}",
                 flush=True,
             )
+            curve.append(dict(
+                env_steps=steps_per_iter * (it + 1),
+                mean_reward=round(float(stats["mean_reward"]), 4),
+                success_rate=round(float(stats["success_rate"]), 4),
+            ))
+    wall = time.time() - t0
     print("done", flush=True)
+    if args.out_json and stats is not None:
+        import json
+
+        import jax as _jax
+
+        payload = dict(
+            env_id=args.env_id,
+            num_envs=args.num_envs,
+            total_timesteps=steps_per_iter * iters,
+            wall_s=round(wall, 1),
+            env_steps_per_s=round(steps_per_iter * iters / wall, 1),
+            platform=_jax.devices()[0].platform,
+            final_success_rate=round(float(stats["success_rate"]), 4),
+            final_mean_reward=round(float(stats["mean_reward"]), 4),
+            curve=curve,
+        )
+        with open(args.out_json, "w") as f:
+            json.dump(payload, f, indent=1)
 
 
 if __name__ == "__main__":

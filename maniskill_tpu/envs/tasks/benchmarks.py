@@ -24,8 +24,26 @@ class FrankaPickCubeBenchmarkEnv(PickCubeEnv):
     SIM_FREQ = 100
     CONTROL_FREQ = 50
 
-    def __init__(self, *args, reward_mode: str = "none", **kwargs):
+    def __init__(self, *args, reward_mode: str = "none",
+                 camera_width: int = 128, camera_height: int = 128,
+                 num_cameras: int = 1, **kwargs):
+        self._cam_wh = (int(camera_width), int(camera_height))
+        self._num_cams = int(num_cameras)
         super().__init__(*args, reward_mode="none", **kwargs)
+
+    def _default_sensor_configs(self):
+        # reference benchmark camera matrix (gpu_sim.py --cam-width/height)
+        from ...math.pose import look_at
+        from ...sensors.camera import CameraConfig
+
+        w, h = self._cam_wh
+        pose = np.asarray(look_at(eye=[0.3, 0, 0.6],
+                                  target=[-0.1, 0, 0.1]).raw)
+        return [
+            CameraConfig(f"base_camera{'' if i == 0 else i}", pose, w, h,
+                         np.pi / 2, 0.01, 100)
+            for i in range(self._num_cams)
+        ]
 
 
 @register_env("FrankaMoveBenchmark-v1", max_episode_steps=1000)

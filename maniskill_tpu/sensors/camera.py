@@ -281,7 +281,14 @@ class Camera:
                 lit = ~jnp.isfinite(t_sh)
                 ndl = ndl * lit.astype(jnp.float32)
             shade = shade + (1.0 - shader.ambient) * intensity * ndl
-        col = base[seg.astype(jnp.int32)] * jnp.clip(shade, 0.0, 1.0)[:, None]
+        # palette lookup as a one-hot matmul over the existing winner
+        # one-hot: gather-free (a (N,)-indexed gather at 512 envs x 300k
+        # pixels crashed the TPU compile helper; the (G,N)x(G,3)
+        # contraction is the MXU-native form). Background (seg=0) falls
+        # out via the isfinite mask (base[0] is black anyway).
+        col = jnp.einsum(
+            "gn,gc->nc", onehot, base[1:]
+        ) * jnp.clip(shade, 0.0, 1.0)[:, None]
         rgb = jnp.where(
             jnp.isfinite(t_hit)[:, None], col, jnp.zeros(3)
         )

@@ -38,9 +38,7 @@ CONFIGS = [
 def bench_one(env_id, obs_mode, cams, w, h, num_envs, steps):
     import maniskill_tpu as mst
 
-    kw = {}
-    if "Cartpole" in env_id:
-        kw = dict(camera_width=w, camera_height=h, num_cameras=cams)
+    kw = dict(camera_width=w, camera_height=h, num_cameras=cams)
     env = mst.make(env_id, num_envs=num_envs, obs_mode=obs_mode, **kw)
     env.reset(seed=2022)
     rng = np.random.RandomState(0)
