@@ -158,34 +158,11 @@ class LinkView:
     def collision_aabb_half(self) -> np.ndarray:
         """Half-extents of the link's collision geoms' combined local AABB
         (static, host-side) — the reference Link bbox surface."""
-        model = self._ctx.env.model
         from ..physics.model import BodyKind
+        from ..physics.shapes import body_collision_aabb_half
 
-        from ..math.rotations import quat_to_matrix
-        from ..physics.shapes import GeomType
-
-        lo = np.full(3, np.inf)
-        hi = np.full(3, -np.inf)
-        for g in model.geoms:
-            if g.kind == BodyKind.ROBOT_LINK and g.body == self.index:
-                # per-type local half extents, rotated into the link frame
-                # via |R| @ h (exact for boxes; conservative hull for
-                # capsules/spheres)
-                if g.gtype == GeomType.SPHERE:
-                    h = np.array([g.size[0]] * 3, np.float64)
-                elif g.gtype in (GeomType.CAPSULE, GeomType.CYLINDER):
-                    r, hl = float(g.size[0]), float(g.size[1])
-                    h = np.array([r, r, hl + r])
-                else:  # BOX and HULL (hull g.size = aabb_half)
-                    h = np.asarray(g.size, np.float64)
-                R = np.abs(np.asarray(quat_to_matrix(
-                    np.asarray(g.offset_q, np.float64))))
-                he = R @ h
-                lo = np.minimum(lo, np.asarray(g.offset_p) - he)
-                hi = np.maximum(hi, np.asarray(g.offset_p) + he)
-        if not np.isfinite(lo).all():
-            return np.zeros(3, np.float32)
-        return ((hi - lo) / 2).astype(np.float32)
+        return body_collision_aabb_half(
+            self._ctx.env.model.geoms, self.index, BodyKind.ROBOT_LINK)
 
 
 class BaseEnv:
@@ -615,9 +592,30 @@ class BaseEnv:
             return obs
         if self.obs_mode in ("depth", "pointcloud", "sensor_data", "rgb",
                              "rgbd"):
+            # only trace the textures this obs mode consumes (the renderer
+            # gates normal/shading/position work on this set)
+            wanted = {
+                "rgb": ("rgb", "segmentation") if self.rgb_overlay_images
+                else ("rgb",),
+                "rgbd": ("rgb", "depth", "segmentation"),
+                "depth": ("depth", "segmentation"),
+                "pointcloud": ("position", "segmentation"),
+            }.get(self.obs_mode)  # sensor_data -> None = shader default
+            # sensors that model per-capture noise (StereoDepthCamera
+            # matcher jitter) get a key derived from the per-env episode
+            # rng + step count, so noise is seeded-deterministic yet fresh
+            # every capture.
             sensor_data = {
-                uid: cam.render(state.sim, ctx.body_pos, ctx.body_quat)
-                for uid, cam in self._sensors.items()
+                uid: (cam.render(
+                    state.sim, ctx.body_pos, ctx.body_quat,
+                    key=jax.random.fold_in(
+                        jax.random.fold_in(state.rng, state.elapsed_steps),
+                        i),
+                    wanted=wanted)
+                    if getattr(cam, "needs_key", False)
+                    else cam.render(state.sim, ctx.body_pos, ctx.body_quat,
+                                    wanted=wanted))
+                for i, (uid, cam) in enumerate(self._sensors.items())
             }
             # greenscreen compositing (digital-twin real2sim eval): keep
             # robot-link and free-body pixels, composite everything else

@@ -72,7 +72,8 @@ class PickSingleHullEnv(PickCubeEnv):
         m = jnp.asarray(self._vol_t)[mid] * self.density
         inertia = jnp.asarray(self._inert_t)[mid] * self.density
         zrest = jnp.asarray(self._aabb_t)[mid, 2]
-        slot = 0  # the only hull geom in this scene
+        slot = int(self.model.geom_hull_slot[
+            self.model.geom_indices("cube")[0]])
         sim = state.sim.replace(
             hull_verts=state.sim.hull_verts.at[slot].set(verts),
             hull_faces=state.sim.hull_faces.at[slot].set(faces),

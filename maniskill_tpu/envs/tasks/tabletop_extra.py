@@ -275,7 +275,7 @@ class PullCubeToolEnv(BaseEnv):
     hook_length = 0.05
     tool_width = 0.02
     tool_height = 0.02
-    arm_reach = 0.85
+    arm_reach = 0.35  # reference pull_cube_tool.py:48
 
     def _default_sensor_configs(self):
         from ...math.pose import look_at
@@ -347,21 +347,48 @@ class PullCubeToolEnv(BaseEnv):
             )
         return obs
 
+    def _post_build(self):
+        self._is_grasping_tool = self.agent.build_grasp_checker(
+            self.model, "l_shape_tool", max_angle=20
+        )
+
     def compute_dense_reward(self, state, action, info, ctx: TaskContext):
+        # reference pull_cube_tool.py compute_dense_reward: staged
+        # reach+grasp -> position hook -> pull progress, with the
+        # pushed-away penalty and +5 success bonus
         cube_p = ctx.actor_pose("cube").p
         tool_p = ctx.actor_pose("l_shape_tool").p
         tcp = ctx.tcp_pose.p
         base = jnp.asarray(np.append(self._base_xy, 0.0))
-        # stage 1: reach the tool handle; stage 2: bring hook behind the
-        # cube; stage 3: pull progress toward the workspace
-        reach_tool = 1.0 - jnp.tanh(5.0 * jnp.linalg.norm(tool_p - tcp))
-        hook_to_cube = 1.0 - jnp.tanh(
-            3.0 * jnp.linalg.norm(tool_p - cube_p))
-        workspace = base + jnp.array([self.arm_reach * 0.1, 0.0, 0.0])
-        progress = 1.0 - jnp.tanh(
-            3.0 * jnp.linalg.norm(cube_p - workspace))
-        reward = reach_tool + hook_to_cube + 2.0 * progress
-        return jnp.where(info["success"], 6.0, reward)
+
+        # stage 1: reach + grasp the tool (grasp point 2 cm up the handle)
+        tool_grasp = tool_p + jnp.array([0.02, 0.0, 0.0])
+        reaching = 2.0 * (1.0 - jnp.tanh(
+            5.0 * jnp.linalg.norm(tcp - tool_grasp)))
+        grasped = self._is_grasping_tool(
+            ctx.body_quat, ctx.contact_forces())
+        reward = reaching + 2.0 * grasped
+
+        # stage 2: hook behind the cube
+        ideal_hook = cube_p + jnp.array(
+            [-(self.hook_length + self.cube_half), -0.067, 0.0])
+        pos_dist = jnp.linalg.norm(tool_p - ideal_hook)
+        positioning = 1.5 * (1.0 - jnp.tanh(3.0 * pos_dist))
+        positioned = pos_dist < 0.05
+
+        # stage 3: pull progress toward the workspace
+        target = base + jnp.array([0.05, 0.0, 0.0])
+        cube_to_ws = jnp.linalg.norm(cube_p - target)
+        initial = jnp.linalg.norm(
+            jnp.array([self.arm_reach + 0.1, 0.0, self.cube_half]) - target)
+        progress = (initial - cube_to_ws) / initial
+        reward = reward + (positioning + 3.0 * progress * positioned) * grasped
+
+        # penalty: cube pushed out of reach
+        reward = jnp.where(cube_p[0] > self.arm_reach + 0.15,
+                           reward - 2.0, reward)
+        return jnp.where(info["success"], reward + 5.0, reward)
 
     def compute_normalized_dense_reward(self, state, action, info, ctx):
-        return self.compute_dense_reward(state, action, info, ctx) / 6.0
+        # reference normalizes by the success bonus
+        return self.compute_dense_reward(state, action, info, ctx) / 5.0

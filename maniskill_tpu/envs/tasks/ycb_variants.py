@@ -167,9 +167,13 @@ class PickClutterYCBEnv(PickCubeEnv):
             pose = jnp.concatenate([
                 anchors[i], aabb_t[mid, 2][None],
                 jnp.array([1.0, 0, 0, 0])])
+            # look up obj{i}'s actual hull-table slot from the model (NOT
+            # the loop index — other builders may register hulls first)
+            gi = self.model.geom_indices(f"obj{i}")[0]
+            slot = int(self.model.geom_hull_slot[gi])
             sim = sim.replace(
-                hull_verts=sim.hull_verts.at[i].set(verts_t[mid]),
-                hull_faces=sim.hull_faces.at[i].set(faces_t[mid]),
+                hull_verts=sim.hull_verts.at[slot].set(verts_t[mid]),
+                hull_faces=sim.hull_faces.at[slot].set(faces_t[mid]),
                 free_mass=sim.free_mass.at[idx].set(vol_t[mid] * 1000.0),
                 free_inertia=sim.free_inertia.at[idx].set(
                     inert_t[mid] * 1000.0),

@@ -51,7 +51,32 @@ _SUPPORTED_FNS = {
     "capsule_box",
     "capsule_capsule",
 }
+# convex-hull pair fns (round 5): per-env padded vertex/face tables ride
+# the input plane; the face-plane SDF is evaluated unrolled over HULL_F
+# faces. Gated separately by _hull_cost below (compile-size bound).
+_HULL_FNS = {
+    "plane_hull", "sphere_hull", "box_hull", "capsule_hull", "hull_hull",
+}
+# max total hull-SDF point evaluations per substep the unrolled kernel
+# will accept (each is ~2xHULL_F tile-ops; past this the Mosaic compile
+# balloons and the XLA path wins anyway)
+_HULL_EVAL_BUDGET = 160
 _CHUNK = 32  # max contact points processed at once (VMEM transient cap)
+
+
+def _hull_cost(model) -> int:
+    """Total hull-SDF point evaluations across hull pair groups."""
+    from .hulls import HULL_P
+
+    cost = 0
+    for (fn, _npts, ia, ib, _mu) in model.pair_groups:
+        name = fn.__name__
+        if name not in _HULL_FNS:
+            continue
+        per_pair = {"plane_hull": 0, "sphere_hull": 1, "box_hull": 8,
+                    "capsule_hull": 3, "hull_hull": 2 * HULL_P}[name]
+        cost += per_pair * len(ia)
+    return cost
 
 
 # ---------------------------------------------------------------------------
@@ -141,8 +166,10 @@ def supports(model: SceneModel) -> bool:
     if getattr(model, "drives", []):
         return False  # actor-pair drives: XLA path only (for now)
     for (fn, _npts, _ia, _ib, _mu) in model.pair_groups:
-        if fn.__name__ not in _SUPPORTED_FNS:
+        if fn.__name__ not in _SUPPORTED_FNS | _HULL_FNS:
             return False
+    if _hull_cost(model) > _HULL_EVAL_BUDGET:
+        return False
     for g in model.geoms:
         if g.kind == BodyKind.ROBOT_LINK and g.body < -1:
             return False
@@ -161,8 +188,12 @@ def supports(model: SceneModel) -> bool:
     nb = model.robot.nb if model.robot else 0
     nk = getattr(model, "n_kin", 0)
     G = len(model.geoms)
+    from .hulls import HULL_F, HULL_P
+
+    nh = getattr(model, "n_hull", 0)
     tile = 4 * 1024  # one (8, 128) f32 tile per point-row at eb=1024
-    r_in = 8 * nq + 13 * F + 7 * nk + 10 * G + 7 * F + 4 * P
+    r_in = (8 * nq + 13 * F + 7 * nk + 10 * G + 7 * F + 4 * P
+            + nh * (3 * HULL_P + 4 * HULL_F))
     r_out = 2 * nq + 13 * F + 7 * P + 10 * nb
     persistent = 14 * P          # cpos/cnrm/cdep/rel + lam/lamt carry+new
     transient = (n_all * 3 + 24) * _CHUNK
@@ -246,6 +277,14 @@ class _Plan:
         self.i_kp = take(nq)
         self.i_kd = take(nq)
         self.i_flim = take(nq)
+        # per-env hull tables (slot-major: verts then faces per layout of
+        # SimState.hull_verts/hull_faces reshape)
+        from .hulls import HULL_F, HULL_P
+
+        nh = getattr(model, "n_hull", 0)
+        self.n_hull = nh
+        self.i_hverts = take(3 * HULL_P * nh)
+        self.i_hfaces = take(4 * HULL_F * nh)
         self.R_in = off
 
         off = 0
@@ -290,6 +329,9 @@ def _pack(plan: _Plan, state: SimState, cmd: DriveCmd, K: int):
         cmd.force_limit if cmd.force_limit is not None else jnp.broadcast_to(
             jnp.asarray(plan.model.drive_force_limit), cmd.target_qpos.shape),
     ]
+    if plan.n_hull > 0:
+        parts += [state.hull_verts.reshape(K, -1),
+                  state.hull_faces.reshape(K, -1)]
     flat = jnp.concatenate([p.astype(jnp.float32) for p in parts], axis=1)
     return flat.T.reshape(plan.R_in, K // 128, 128)
 
@@ -784,6 +826,196 @@ def _build_kernel(plan: _Plan, n_substeps: int, eb: int = EB):
                     pos = tuple(ilv(pos_a[c], pos_b[c]) for c in range(3))
                     nrm = tuple(ilv(nrm_a[c], nrm_b[c]) for c in range(3))
                     dep = ilv(dep_a, dep_b)
+                elif name in ("plane_hull", "sphere_hull", "box_hull",
+                              "capsule_hull", "hull_hull"):
+                    # convex-hull narrowphase, mirrors shapes.py hull fns
+                    # exactly. Per-env vertex/face tables ride the input
+                    # plane; points are emitted pair-major like the
+                    # engine's vmapped group evaluation.
+                    from .hulls import HULL_F, HULL_P
+
+                    slot_tab = model.geom_hull_slot
+
+                    def read_hull(slot):
+                        bv = plan.i_hverts[0] + slot * HULL_P * 3
+                        verts = [
+                            (row(bv + 3 * p), row(bv + 3 * p + 1),
+                             row(bv + 3 * p + 2))
+                            for p in range(HULL_P)
+                        ]
+                        bf = plan.i_hfaces[0] + slot * HULL_F * 4
+                        faces = [
+                            (row(bf + 4 * f2), row(bf + 4 * f2 + 1),
+                             row(bf + 4 * f2 + 2), row(bf + 4 * f2 + 3))
+                            for f2 in range(HULL_F)
+                        ]
+                        return verts, faces
+
+                    def hull_sdf_stack(loc, faces):
+                        """shapes._hull_sdf over a (n, 8, 128) point stack:
+                        2 passes over the unrolled faces (max, then one-hot
+                        normal accumulation) — exact tie semantics, no
+                        (n, HULL_F) transient."""
+
+                        def fd(f2):
+                            nx_, ny_, nz_, off_ = faces[f2]
+                            return (loc[0] * nx_[None] + loc[1] * ny_[None]
+                                    + loc[2] * nz_[None] - off_[None])
+
+                        sdf = fd(0)
+                        for f2 in range(1, HULL_F):
+                            sdf = jnp.maximum(sdf, fd(f2))
+                        cnt = jnp.zeros_like(sdf)
+                        ax = jnp.zeros_like(sdf)
+                        ay = jnp.zeros_like(sdf)
+                        az = jnp.zeros_like(sdf)
+                        for f2 in range(HULL_F):
+                            m = (fd(f2) >= sdf).astype(jnp.float32)
+                            nx_, ny_, nz_, _off = faces[f2]
+                            cnt = cnt + m
+                            ax = ax + m * nx_[None]
+                            ay = ay + m * ny_[None]
+                            az = az + m * nz_[None]
+                        inv = 1.0 / cnt
+                        nx2, ny2, nz2 = ax * inv, ay * inv, az * inv
+                        nn = jnp.maximum(jnp.sqrt(
+                            nx2 * nx2 + ny2 * ny2 + nz2 * nz2), 1e-9)
+                        i2 = 1.0 / nn
+                        return sdf, (nx2 * i2, ny2 * i2, nz2 * i2)
+
+                    def stk3(pts):
+                        """list of 3-tuples of (8,128) -> 3-tuple stacks."""
+                        return tuple(_stk([p[c] for p in pts])
+                                     for c in range(3))
+
+                    pos_pair, nrm_pair, dep_pair = [], [], []
+                    for j in range(npair):
+                        ga_i, gb_i = ia_l[j], ib_l[j]
+                        pa_t, qa_t = gpos[ga_i], gquat[ga_i]
+                        pb_t, qb_t = gpos[gb_i], gquat[gb_i]
+                        sa_t = geom_size(ga_i)
+                        if name == "hull_hull":
+                            va, fa2 = read_hull(int(slot_tab[ga_i]))
+                        vb, fb2 = read_hull(int(slot_tab[gb_i]))
+
+                        def world_verts(p_t, q_t, verts):
+                            return [
+                                _add(p_t, _qapply(q_t, v)) for v in verts
+                            ]
+
+                        if name == "plane_hull":
+                            n_t = _qapply(qa_t, (zero, zero, one))
+                            w = stk3(world_verts(pb_t, qb_t, vb))
+                            dist = _dot(
+                                _sub(w, tuple(x[None] for x in pa_t)),
+                                tuple(x[None] for x in n_t))
+                            pos_j = w
+                            nrm_j = tuple(-x[None]
+                                          + jnp.zeros_like(dist)
+                                          for x in n_t)
+                            dep_j = -dist
+                        elif name == "sphere_hull":
+                            loc1 = _qapply(
+                                _qconj(qb_t), _sub(pa_t, pb_t))
+                            loc = tuple(x[None] for x in loc1)
+                            sdf, nl = hull_sdf_stack(loc, fb2)
+                            n_w = _qapply(
+                                tuple(x[None] for x in qb_t), nl)
+                            r = sa_t[0][None]
+                            dep_j = r - sdf
+                            pos_j = tuple(
+                                pa_t[c][None] - n_w[c] * (r - 0.5 * dep_j)
+                                for c in range(3))
+                            nrm_j = n_w
+                        elif name == "capsule_hull":
+                            axis = _qapply(qa_t, (zero, zero, one))
+                            centers = [
+                                _add(pa_t, _scale(axis, sa_t[1] * t3))
+                                for t3 in (-1.0, 0.0, 1.0)
+                            ]
+                            cs = stk3(centers)
+                            loc = _qapply(
+                                tuple(x[None] for x in _qconj(qb_t)),
+                                _sub(cs, tuple(x[None] for x in pb_t)))
+                            sdf, nl = hull_sdf_stack(loc, fb2)
+                            n_w = _qapply(
+                                tuple(x[None] for x in qb_t), nl)
+                            r = sa_t[0][None]
+                            dep_j = r - sdf
+                            pos_j = tuple(
+                                cs[c] - n_w[c] * (r - 0.5 * dep_j)
+                                for c in range(3))
+                            nrm_j = n_w
+                        elif name == "box_hull":
+                            # A's 8 corners vs hull SDF
+                            corners = []
+                            for sg in CORNER_SIGNS:
+                                lv = (sa_t[0] * float(sg[0]),
+                                      sa_t[1] * float(sg[1]),
+                                      sa_t[2] * float(sg[2]))
+                                corners.append(
+                                    _add(pa_t, _qapply(qa_t, lv)))
+                            ca = stk3(corners)
+                            loc = _qapply(
+                                tuple(x[None] for x in _qconj(qb_t)),
+                                _sub(ca, tuple(x[None] for x in pb_t)))
+                            sdf_a, nl_a = hull_sdf_stack(loc, fb2)
+                            n_a = _qapply(
+                                tuple(x[None] for x in qb_t), nl_a)
+                            # B's verts vs box SDF
+                            w = stk3(world_verts(pb_t, qb_t, vb))
+                            locb = _qapply(
+                                tuple(x[None] for x in _qconj(qa_t)),
+                                _sub(w, tuple(x[None] for x in pa_t)))
+                            sdf_b, nl_b = sdf_box(
+                                locb[0], locb[1], locb[2],
+                                sa_t[0][None], sa_t[1][None],
+                                sa_t[2][None])
+                            n_b = tuple(
+                                -x for x in _qapply(
+                                    tuple(y[None] for y in qa_t), nl_b))
+                            pos_j = tuple(
+                                jnp.concatenate([ca[c], w[c]], axis=0)
+                                for c in range(3))
+                            nrm_j = tuple(
+                                jnp.concatenate([n_a[c], n_b[c]], axis=0)
+                                for c in range(3))
+                            dep_j = jnp.concatenate([-sdf_a, -sdf_b],
+                                                    axis=0)
+                        else:  # hull_hull
+                            wa = stk3(world_verts(pa_t, qa_t, va))
+                            loc_a = _qapply(
+                                tuple(x[None] for x in _qconj(qb_t)),
+                                _sub(wa, tuple(x[None] for x in pb_t)))
+                            sdf_a, nl_a = hull_sdf_stack(loc_a, fb2)
+                            n_a = _qapply(
+                                tuple(x[None] for x in qb_t), nl_a)
+                            wb = stk3(world_verts(pb_t, qb_t, vb))
+                            loc_b = _qapply(
+                                tuple(x[None] for x in _qconj(qa_t)),
+                                _sub(wb, tuple(x[None] for x in pa_t)))
+                            sdf_b, nl_b = hull_sdf_stack(loc_b, fa2)
+                            n_b = tuple(
+                                -x for x in _qapply(
+                                    tuple(y[None] for y in qa_t), nl_b))
+                            pos_j = tuple(
+                                jnp.concatenate([wa[c], wb[c]], axis=0)
+                                for c in range(3))
+                            nrm_j = tuple(
+                                jnp.concatenate([n_a[c], n_b[c]], axis=0)
+                                for c in range(3))
+                            dep_j = jnp.concatenate([-sdf_a, -sdf_b],
+                                                    axis=0)
+                        pos_pair.append(pos_j)
+                        nrm_pair.append(nrm_j)
+                        dep_pair.append(dep_j)
+                    pos = tuple(
+                        jnp.concatenate([p[c] for p in pos_pair], axis=0)
+                        for c in range(3))
+                    nrm = tuple(
+                        jnp.concatenate([p[c] for p in nrm_pair], axis=0)
+                        for c in range(3))
+                    dep = jnp.concatenate(dep_pair, axis=0)
                 elif name in ("plane_sphere", "sphere_box", "box_sphere",
                               "sphere_sphere"):
                     pa = [_stk([gpos[i][c] for i in ia_l]) for c in range(3)]

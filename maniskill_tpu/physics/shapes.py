@@ -49,6 +49,49 @@ _BOX_CORNERS = np.array(
 )
 
 
+def geom_local_half_extents(gtype: int, size) -> np.ndarray:
+    """Per-geom-type local AABB half extents (host-side, numpy).
+
+    Exact for box/sphere; conservative hull for capsule/cylinder (treated
+    identically: radius r, half length hl along z -> (r, r, hl + r)). HULL
+    geoms store their AABB half extents directly in ``size``.
+    """
+    size = np.asarray(size, np.float64)
+    t = int(gtype)
+    if t == GeomType.SPHERE:
+        return np.full(3, float(size[0]))
+    if t in (GeomType.CAPSULE, GeomType.CYLINDER):
+        r, hl = float(size[0]), float(size[1])
+        return np.array([r, r, hl + r])
+    return size  # BOX and HULL
+
+
+def body_collision_aabb_half(geoms, body_index: int, kind) -> np.ndarray:
+    """Half-extents of a body's combined collision AABB in the body frame.
+
+    Each geom's local half extents are rotated into the body frame via
+    |R| @ h (exact for boxes, conservative otherwise) and offset by
+    ``offset_p``. Shared by ``structs.LinkView.bbox_half`` and
+    ``envs.base_env.LinkView.collision_aabb_half`` (reference Link bbox
+    surface, mani_skill/utils/structs/link.py).
+    """
+    lo = np.full(3, np.inf)
+    hi = np.full(3, -np.inf)
+    for g in geoms:
+        if g.kind != kind or g.body != body_index:
+            continue
+        h = geom_local_half_extents(g.gtype, g.size)
+        R = np.abs(np.asarray(quat_to_matrix(np.asarray(g.offset_q,
+                                                        np.float64))))
+        he = R @ h
+        p = np.asarray(g.offset_p)
+        lo = np.minimum(lo, p - he)
+        hi = np.maximum(hi, p + he)
+    if not np.isfinite(lo).all():
+        return np.zeros(3, np.float32)
+    return ((hi - lo) / 2).astype(np.float32)
+
+
 def _box_corners(pos, quat, half):
     corners = jnp.asarray(_BOX_CORNERS) * half  # (8, 3)
     return pos + quat_apply(quat[None], corners)

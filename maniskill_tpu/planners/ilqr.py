@@ -7,8 +7,15 @@ differentiable), run the Riccati backward pass, and line-search the forward
 pass — all inside one jitted solve. Used standalone or to polish an MPPI/CEM
 nominal sequence (``CEM with iLQR refinement``, BASELINE config #3).
 
-State is the flattened sim pytree (qpos, qvel, free poses/vels); cost is the
-negative task reward plus an action penalty.
+Reduced-state linearization (round 5): the forward rollouts and line search
+step the FULL EnvState (contact warm-start impulses, controller command,
+episode counters all carried exactly), but the Riccati pass linearizes only
+the dynamic coordinates x = (qpos, qvel, free_pose, free_vel) — nx ≈ 44 for
+StackCube instead of >1000 when flattening the whole SimState (geom sizes,
+hull tables, impulse caches are not *decision-relevant* state; they ride the
+nominal trajectory as per-timestep templates). This is what makes per-replan
+refinement affordable on contact-rich scenes: jacfwd tangent width nx, and
+(nx x nx) Riccati recursions that stay register/VMEM sized.
 """
 from __future__ import annotations
 
@@ -43,70 +50,80 @@ class ILQR:
         self.config = config
         self.action_dim = env.action_dim
 
-        # -- state flattening ------------------------------------------------
+        # -- reduced dynamic state ------------------------------------------
         sim0 = env.model.initial_state()
-        leaves, treedef = jax.tree_util.tree_flatten(sim0)
-        sizes = [int(np.prod(l.shape)) for l in leaves]
-        shapes = [l.shape for l in leaves]
-        nx = sum(sizes)
+        nq = sim0.qpos.shape[-1]
+        F = sim0.free_pose.shape[-2] if sim0.free_pose.ndim >= 2 else 0
+        nx = 2 * nq + 13 * F
         self.nx = nx
 
-        def flatten(sim):
-            ls = jax.tree_util.tree_leaves(sim)
-            return jnp.concatenate([l.reshape(-1) for l in ls])
+        def reduce_(sim):
+            return jnp.concatenate([
+                sim.qpos, sim.qvel,
+                sim.free_pose.reshape(-1), sim.free_vel.reshape(-1),
+            ])
 
-        def unflatten(x):
-            out, off = [], 0
-            for s, shp in zip(sizes, shapes):
-                out.append(x[off : off + s].reshape(shp))
-                off += s
-            return jax.tree_util.tree_unflatten(treedef, out)
+        def inject(sim, x):
+            return sim.replace(
+                qpos=x[:nq],
+                qvel=x[nq:2 * nq],
+                free_pose=x[2 * nq:2 * nq + 7 * F].reshape(F, 7),
+                free_vel=x[2 * nq + 7 * F:].reshape(F, 6),
+            )
 
         cfg = config
         nu = self.action_dim
 
         def dyn(x, u, template):
-            """One control step on the flat state; template carries the
-            non-sim parts of EnvState (cmd, rng, extras)."""
-            st = template.replace(sim=unflatten(x))
+            """One control step on the reduced state; ``template`` is the
+            FULL EnvState at this point of the nominal trajectory (cmd,
+            impulse warm starts, sizes — everything not in x)."""
+            st = template.replace(sim=inject(template.sim, x))
             st2, reward, _ = env._rollout_step(st, u)
-            return flatten(st2.sim), reward
+            return reduce_(st2.sim), reward
 
         def cost(x, u, template):
             _, reward = dyn(x, u, template)
             return -reward + cfg.action_penalty * jnp.sum(u * u)
 
+        def full_step(st, u):
+            st2, reward, _ = env._rollout_step(st, u)
+            c = -reward + cfg.action_penalty * jnp.sum(u * u)
+            return st2, c
+
         def solve(env_state, U0):
             """Refine control sequence U0 (H, nu) from env_state."""
-            template = env_state
-            x0 = flatten(env_state.sim)
 
             def rollout(U):
-                def step(x, u):
-                    xn, r = dyn(x, u, template)
-                    c = -r + cfg.action_penalty * jnp.sum(u * u)
-                    return xn, (x, c)
+                """Full-state rollout; returns the stacked full states
+                (the per-t linearization templates) + total cost."""
 
-                xT, (xs, cs) = jax.lax.scan(step, x0, U)
-                return xs, xT, jnp.sum(cs)
+                def step(st, u):
+                    st2, c = full_step(st, u)
+                    return st2, (st, c)
 
-            f_x = jax.jacfwd(lambda x, u: dyn(x, u, template)[0], argnums=0)
-            f_u = jax.jacfwd(lambda x, u: dyn(x, u, template)[0], argnums=1)
+                stT, (traj, cs) = jax.lax.scan(step, env_state, U)
+                return traj, jnp.sum(cs)
+
+            f_x = jax.jacfwd(lambda x, u, t: dyn(x, u, t)[0], argnums=0)
+            f_u = jax.jacfwd(lambda x, u, t: dyn(x, u, t)[0], argnums=1)
             c_x = jax.grad(cost, argnums=0)
             c_u = jax.grad(cost, argnums=1)
 
             def iteration(carry, _):
                 U, reg, best_cost = carry
-                xs, xT, _ = rollout(U)
+                traj, _ = rollout(U)
+                xs = jax.vmap(lambda st: reduce_(st.sim))(traj)
 
-                # linearize along the trajectory
-                A = jax.vmap(f_x)(xs, U)
-                B = jax.vmap(f_u)(xs, U)
-                cx = jax.vmap(lambda x, u: c_x(x, u, template))(xs, U)
-                cu = jax.vmap(lambda x, u: c_u(x, u, template))(xs, U)
+                # linearize along the trajectory (template = nominal full
+                # state at each t)
+                A = jax.vmap(f_x)(xs, U, traj)
+                B = jax.vmap(f_u)(xs, U, traj)
+                cx = jax.vmap(c_x)(xs, U, traj)
+                cu = jax.vmap(c_u)(xs, U, traj)
 
                 # backward Riccati with Gauss-Newton Hessians (cx cxᵀ ≈ 0;
-                # use identity-scaled regularization instead)
+                # identity-scaled regularization instead)
                 def backward(carry, t):
                     Vx, Vxx = carry
                     At, Bt = A[t], B[t]
@@ -128,29 +145,31 @@ class ILQR:
 
                 (Vx, Vxx), (ks, Ks) = jax.lax.scan(
                     backward,
-                    (jnp.zeros(self.nx), jnp.zeros((self.nx, self.nx))),
+                    (jnp.zeros(nx), jnp.zeros((nx, nx))),
                     jnp.arange(cfg.horizon - 1, -1, -1),
                 )
                 ks = ks[::-1]
                 Ks = Ks[::-1]
 
-                # line search over step sizes
+                # line search over step sizes: full-state forward, feedback
+                # on the reduced deviation from the nominal
                 def try_alpha(alpha):
                     def fwd(carry, t):
-                        x, cost_acc = carry
-                        u = U[t] + alpha * ks[t] + Ks[t] @ (x - xs[t])
+                        st, cost_acc = carry
+                        dx = reduce_(st.sim) - xs[t]
+                        u = U[t] + alpha * ks[t] + Ks[t] @ dx
                         u = jnp.clip(u, -1.0, 1.0)
-                        xn, r = dyn(x, u, template)
-                        c = -r + cfg.action_penalty * jnp.sum(u * u)
-                        return (xn, cost_acc + c), u
+                        st2, c = full_step(st, u)
+                        return (st2, cost_acc + c), u
 
                     (_, total), Us = jax.lax.scan(
-                        fwd, (x0, 0.0), jnp.arange(cfg.horizon)
+                        fwd, (env_state, 0.0), jnp.arange(cfg.horizon)
                     )
                     return total, Us
 
                 alphas = 0.5 ** jnp.arange(cfg.line_search_steps)
                 costs, Us_all = jax.vmap(try_alpha)(alphas)
+                costs = jnp.where(jnp.isfinite(costs), costs, jnp.inf)
                 best = jnp.argmin(costs)
                 new_cost = costs[best]
                 improved = new_cost < best_cost
@@ -166,7 +185,7 @@ class ILQR:
                     jnp.minimum(new_cost, best_cost),
                 ), new_cost
 
-            _, _, cost0 = rollout(U0)
+            _, cost0 = rollout(U0)
             (U, _, final_cost), cost_hist = jax.lax.scan(
                 iteration,
                 (U0, jnp.float32(cfg.reg_init), cost0),
@@ -176,6 +195,7 @@ class ILQR:
             return U, dict(initial_cost=cost0, final_cost=final_cost,
                            cost_history=cost_hist)
 
+        self._solve_fn = solve
         self._solve = jax.jit(solve)
 
     def solve(self, env_state, U0=None):

@@ -20,13 +20,14 @@ Usage::
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .cem import CEM, CEMConfig
+from .cem import CEM, CEMConfig, CEMState
+from .ilqr import ILQR, ILQRConfig
 from .mppi import MPPI, MPPIConfig
 
 
@@ -35,11 +36,68 @@ def _single(tree, i=0):
     return jax.tree.map(lambda x: x[i], tree)
 
 
+class CEMILQRConfig(NamedTuple):
+    cem: CEMConfig = CEMConfig()
+    ilqr: ILQRConfig = ILQRConfig()
+
+
+class CEMILQR:
+    """CEM warm-start + iLQR refinement (BASELINE config #3: "StackCube-v1,
+    Panda, CEM with iLQR refinement, contact-rich cost, horizon 60").
+
+    Per replan: a CEM solve proposes a nominal sequence (global sampling
+    escapes the contact-rich local minima), then iLQR polishes it through
+    the differentiable dynamics (local second-order refinement CEM's
+    diagonal Gaussian cannot express). Planner state is the CEM state; the
+    executed sequence is the refined one.
+    """
+
+    def __init__(self, env, config: CEMILQRConfig = CEMILQRConfig(),
+                 mesh=None, rollout_axis: str = "rollout"):
+        assert config.cem.horizon == config.ilqr.horizon, (
+            config.cem.horizon, config.ilqr.horizon)
+        self.env = env
+        self.config = config
+        self.action_dim = env.action_dim
+        self.cem = CEM(env, config.cem, mesh=mesh, rollout_axis=rollout_axis)
+        self.ilqr = ILQR(env, config.ilqr)
+        cfg = config
+
+        def plan_step(ps, env_state):
+            ps2, cinfo = self.cem._solve.__wrapped__(ps, env_state) \
+                if hasattr(self.cem._solve, "__wrapped__") \
+                else self.cem.solve(ps, env_state)
+            U, rinfo = self.ilqr._solve_fn(env_state, ps2.mean)
+            action = U[0]
+            shifted_mean = jnp.concatenate([U[1:], U[-1:]])
+            shifted_sigma = jnp.concatenate(
+                [ps2.sigma[1:],
+                 jnp.full_like(ps2.sigma[-1:], cfg.cem.init_sigma)]
+            )
+            info = dict(
+                cem_best_return=cinfo["best_return"],
+                ilqr_initial_cost=rinfo["initial_cost"],
+                ilqr_final_cost=rinfo["final_cost"],
+            )
+            return (CEMState(mean=shifted_mean, sigma=shifted_sigma,
+                             key=ps2.key), action, info)
+
+        self._plan_step = jax.jit(plan_step)
+
+    def init(self, seed: int = 0) -> CEMState:
+        return self.cem.init(seed=seed)
+
+    def plan_step(self, ps, env_state):
+        return self._plan_step(ps, env_state)
+
+
 def make_planner(env, planner: str = "mppi", config=None, mesh=None):
     if planner == "mppi":
         return MPPI(env, config or MPPIConfig(), mesh=mesh)
     if planner == "cem":
         return CEM(env, config or CEMConfig(), mesh=mesh)
+    if planner == "cem-ilqr":
+        return CEMILQR(env, config or CEMILQRConfig(), mesh=mesh)
     raise ValueError(f"unknown planner {planner!r}")
 
 

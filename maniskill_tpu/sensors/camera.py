@@ -199,10 +199,128 @@ class Camera:
             np.float32,
         )
 
-    def render(self, state, body_pos, body_quat):
-        """Single-env render. Returns dict with depth (H, W) float32 meters,
+    def _wanted(self, wanted=None):
+        """Effective texture set: caller request ∩ shader pack."""
+        all_tex = ("depth", "segmentation", "position", "rgb", "normal")
+        pack = self.shader.texture_names or all_tex
+        if wanted is None:
+            return tuple(k for k in all_tex if k in pack)
+        return tuple(k for k in all_tex if k in pack and k in wanted)
+
+    def _render_rays(self, state, gpos, gquat, cam_p, cam_q, dirs_w,
+                     wanted):
+        """Trace one block of world-frame rays. Returns a dict of flat
+        (n, ...) arrays for exactly the ``wanted`` textures. All per-geom
+        intermediates live only for this block — the pixel-chunked
+        ``render`` below bounds peak memory/compile size at any
+        resolution (the 640x480 @512-env headline config used to fail to
+        compile as one monolithic program)."""
+        model = self.model
+        cfg = self.cfg
+        shader = self.shader
+        N = dirs_w.shape[0]
+        need_normal = ("normal" in wanted) or ("rgb" in wanted)
+        need_win = need_normal or ("segmentation" in wanted)
+        need_pts = ("position" in wanted) or (
+            "rgb" in wanted and shader.shadows)
+
+        ts = []
+        normals = []
+        for gi, g in enumerate(model.geoms):
+            gq = gquat[gi]
+            gp = gpos[gi]
+            o = quat_apply(quat_conjugate(gq)[None], cam_p[None] - gp[None])
+            o = jnp.broadcast_to(o, (N, 3))
+            d = quat_apply(quat_conjugate(gq)[None], dirs_w)
+            t, n_loc = _geom_ray(g, state, gi, o, d)
+            ts.append(t)
+            if need_normal:
+                nan_safe = jnp.where(jnp.isfinite(t)[:, None], n_loc, 0.0)
+                normals.append(quat_apply(gq[None], nan_safe))
+        T = jnp.stack(ts, axis=0)  # (G, N)
+        t_hit = jnp.min(T, axis=0)
+        out = {}
+        if need_win:
+            win = jnp.argmin(T, axis=0)
+            # winner one-hot (arithmetic, no gathers — an (N,)-indexed
+            # gather at 512 envs x 300k pixels crashed the TPU compile
+            # helper; the one-hot contraction is the MXU-native form)
+            onehot = (jnp.arange(T.shape[0])[:, None] == win[None, :]
+                      ).astype(jnp.float32)
+        if "segmentation" in wanted:
+            out["segmentation"] = jnp.where(
+                jnp.isfinite(t_hit), win + 1, 0).astype(jnp.int16)
+        if need_normal:
+            n_world = jnp.einsum("gn,gnc->nc", onehot, jnp.stack(normals))
+        # clip to the near/far frustum like the renderer would
+        t_hit = jnp.where(
+            (t_hit >= cfg.near) & (t_hit <= cfg.far), t_hit, jnp.inf
+        )
+        if need_pts:
+            pts = cam_p[None] + dirs_w * t_hit[:, None]
+        if "position" in wanted:
+            out["position"] = pts
+        if "depth" in wanted:
+            # depth = distance along the camera forward axis (z-buffer)
+            fwd = quat_apply(cam_q, jnp.array([1.0, 0.0, 0.0]))
+            out["depth"] = t_hit * (dirs_w @ fwd)
+        if "normal" in wanted:
+            out["normal"] = n_world
+        if "rgb" in wanted:
+            # Lambert RGB over a per-geom palette, shaded per the camera's
+            # shader pack (sensors/shaders.py — the reference ShaderConfig
+            # analogue, render/shaders.py:11,67)
+            base = jnp.asarray(self._palette)  # (G+1, 3) incl. background
+            shade = jnp.full(N, shader.ambient)
+            if shader.shadows:
+                so = jnp.where(jnp.isfinite(pts), pts, 0.0) + n_world * 1e-3
+            for light_dir, intensity in shader.lights:
+                light = jnp.asarray(np.asarray(light_dir, np.float32))
+                light = light / jnp.linalg.norm(light)
+                ndl = jnp.maximum(
+                    -jnp.sum(n_world * light[None], axis=-1), 0.0)
+                if shader.shadows:
+                    # one shadow ray per pixel toward the light; any hit
+                    # occludes. Origins are rotated into each geom's frame
+                    # inside the loop — no G live (N, 3) stacks.
+                    sd = jnp.broadcast_to(-light[None], (N, 3))
+                    t_sh = jnp.full(N, jnp.inf)
+                    for gi, g in enumerate(model.geoms):
+                        cq = quat_conjugate(gquat[gi])
+                        o_l = quat_apply(cq[None], so - gpos[gi][None])
+                        d_l = quat_apply(cq[None], sd)
+                        t_g, _ = _geom_ray(g, state, gi, o_l, d_l)
+                        t_sh = jnp.minimum(t_sh, t_g)
+                    ndl = ndl * (~jnp.isfinite(t_sh)).astype(jnp.float32)
+                shade = shade + (1.0 - shader.ambient) * intensity * ndl
+            col = jnp.einsum(
+                "gn,gc->nc", onehot, base[1:]
+            ) * jnp.clip(shade, 0.0, 1.0)[:, None]
+            rgb = jnp.where(jnp.isfinite(t_hit)[:, None], col, jnp.zeros(3))
+            out["rgb"] = jnp.clip(rgb * 255.0, 0, 255).astype(jnp.uint8)
+        return out
+
+    # pixel-chunking: past this many rays the trace is split into blocks
+    # processed sequentially with lax.map (compile size and peak memory
+    # become resolution-independent, same trick as the physics
+    # mega-kernel's per-point _CHUNK pipeline)
+    _MAX_CHUNK = 20480
+
+    @staticmethod
+    def _pick_chunk(N: int) -> int:
+        if N <= Camera._MAX_CHUNK:
+            return N
+        for k in range(2, 129):
+            if N % k == 0 and N // k <= Camera._MAX_CHUNK:
+                return N // k
+        return Camera._MAX_CHUNK  # no small divisor: pad
+
+    def render(self, state, body_pos, body_quat, wanted=None):
+        """Single-env render. Returns dict with (subsets gated by the
+        shader pack and ``wanted``): depth (H, W) float32 meters,
         segmentation (H, W) int16 geom id + 1 (0 = background), position
-        (H, W, 3) world-frame points (inf where no hit)."""
+        (H, W, 3) world-frame points (inf where no hit), rgb (H, W, 3)
+        uint8, normal (H, W, 3)."""
         model = self.model
         if self.cfg.mount is not None:
             from ..physics.engine import robot_frame_pose
@@ -218,91 +336,32 @@ class Camera:
             cam_q = jnp.asarray(self._cam_q)
         dirs_w = quat_apply(cam_q[None], jnp.asarray(self._dirs))  # (N,3)
         N = dirs_w.shape[0]
+        wanted = self._wanted(wanted)
 
         gpos, gquat = all_geom_poses(model, state, body_pos, body_quat)
-        ts = []
-        normals = []
-        for gi, g in enumerate(model.geoms):
-            gq = gquat[gi]
-            gp = gpos[gi]
-            o = quat_apply(quat_conjugate(gq)[None], cam_p[None] - gp[None])
-            o = jnp.broadcast_to(o, (N, 3))
-            d = quat_apply(quat_conjugate(gq)[None], dirs_w)
-            t, n_loc = _geom_ray(g, state, gi, o, d)
-            nan_safe = jnp.where(jnp.isfinite(t)[:, None], n_loc, 0.0)
-            ts.append(t)
-            normals.append(quat_apply(gq[None], nan_safe))
-        T = jnp.stack(ts, axis=0)  # (G, N)
-        t_hit = jnp.min(T, axis=0)
-        win = jnp.argmin(T, axis=0)
-        seg = jnp.where(jnp.isfinite(t_hit), win + 1, 0).astype(jnp.int16)
-        # winner-selected world normal (arithmetic one-hot, no gathers)
-        onehot = (jnp.arange(T.shape[0])[:, None] == win[None, :]).astype(
-            jnp.float32
-        )
-        n_world = jnp.einsum("gn,gnc->nc", onehot, jnp.stack(normals))
-        cfg = self.cfg
-        # clip to the near/far frustum like the renderer would
-        t_hit = jnp.where(
-            (t_hit >= cfg.near) & (t_hit <= cfg.far), t_hit, jnp.inf
-        )
-        pts = cam_p[None] + dirs_w * t_hit[:, None]
-        # depth = distance along the camera forward axis (z-buffer style)
-        fwd = quat_apply(cam_q, jnp.array([1.0, 0.0, 0.0]))
-        depth = t_hit * (dirs_w @ fwd)
-        H, W = cfg.height, cfg.width
-        # Lambert RGB over a per-geom palette, shaded per the camera's
-        # shader pack (sensors/shaders.py — the reference ShaderConfig
-        # analogue, render/shaders.py:11,67). Unused outputs are DCE'd.
-        shader = self.shader
-        base = jnp.asarray(self._palette)  # (G+1, 3) incl. background
-        shade = jnp.full(N, shader.ambient)
-        if shader.shadows:
-            # light-independent: shadow-ray origins just off the surface,
-            # pre-rotated into each geom's frame once for all lights
-            so = jnp.where(jnp.isfinite(pts), pts, 0.0) + n_world * 1e-3
-            shadow_origins = [
-                quat_apply(quat_conjugate(gquat[gi])[None],
-                           so - gpos[gi][None])
-                for gi in range(len(model.geoms))
-            ]
-        for light_dir, intensity in shader.lights:
-            light = jnp.asarray(np.asarray(light_dir, np.float32))
-            light = light / jnp.linalg.norm(light)
-            ndl = jnp.maximum(-jnp.sum(n_world * light[None], axis=-1), 0.0)
-            if shader.shadows:
-                # one shadow ray per pixel toward the light; any hit occludes
-                sd = jnp.broadcast_to(-light[None], (N, 3))
-                t_sh = jnp.full(N, jnp.inf)
-                for gi, g in enumerate(model.geoms):
-                    d_l = quat_apply(quat_conjugate(gquat[gi])[None], sd)
-                    t_g, _ = _geom_ray(g, state, gi, shadow_origins[gi], d_l)
-                    t_sh = jnp.minimum(t_sh, t_g)
-                lit = ~jnp.isfinite(t_sh)
-                ndl = ndl * lit.astype(jnp.float32)
-            shade = shade + (1.0 - shader.ambient) * intensity * ndl
-        # palette lookup as a one-hot matmul over the existing winner
-        # one-hot: gather-free (a (N,)-indexed gather at 512 envs x 300k
-        # pixels crashed the TPU compile helper; the (G,N)x(G,3)
-        # contraction is the MXU-native form). Background (seg=0) falls
-        # out via the isfinite mask (base[0] is black anyway).
-        col = jnp.einsum(
-            "gn,gc->nc", onehot, base[1:]
-        ) * jnp.clip(shade, 0.0, 1.0)[:, None]
-        rgb = jnp.where(
-            jnp.isfinite(t_hit)[:, None], col, jnp.zeros(3)
-        )
-        rgb_u8 = jnp.clip(rgb * 255.0, 0, 255).astype(jnp.uint8)
-        out = dict(
-            depth=depth.reshape(H, W),
-            segmentation=seg.reshape(H, W),
-            position=pts.reshape(H, W, 3),
-            rgb=rgb_u8.reshape(H, W, 3),
-            normal=n_world.reshape(H, W, 3),
-        )
-        if shader.texture_names is not None:
-            out = {k: v for k, v in out.items() if k in shader.texture_names}
-        return out
+        chunk = self._pick_chunk(N)
+        if chunk >= N:
+            out = self._render_rays(
+                state, gpos, gquat, cam_p, cam_q, dirs_w, wanted)
+        else:
+            Np = ((N + chunk - 1) // chunk) * chunk
+            if Np != N:
+                dirs_w = jnp.concatenate(
+                    [dirs_w, jnp.broadcast_to(dirs_w[:1], (Np - N, 3))])
+            blocks = dirs_w.reshape(-1, chunk, 3)
+            out = jax.lax.map(
+                lambda db: self._render_rays(
+                    state, gpos, gquat, cam_p, cam_q, db, wanted),
+                blocks,
+            )
+            out = {
+                k: v.reshape((v.shape[0] * v.shape[1],) + v.shape[2:])[:N]
+                for k, v in out.items()
+            }
+        H, W = self.cfg.height, self.cfg.width
+        return {
+            k: v.reshape((H, W) + v.shape[1:]) for k, v in out.items()
+        }
 
     def get_params(self):
         """Intrinsics/extrinsics (reference Camera.get_params, camera.py:281)."""

@@ -60,6 +60,10 @@ class StereoDepthCamera(Camera):
     camera is the LEFT (reference) eye and also supplies rgb/segmentation;
     the right eye sits ``baseline`` to its right (camera frame -y)."""
 
+    # BaseEnv._get_obs threads a per-step fold_in key into render() so
+    # configured matcher noise applies to observations
+    needs_key = True
+
     def __init__(self, cfg: StereoDepthCameraConfig, model):
         super().__init__(cfg, model)
         pose = np.asarray(cfg.pose, np.float32)
@@ -75,10 +79,15 @@ class StereoDepthCamera(Camera):
         # focal length in pixels (square pixels, vertical fov)
         self._f_px = 0.5 * cfg.height / np.tan(cfg.fov / 2)
 
-    def render(self, state, body_pos, body_quat, key=None):
+    def render(self, state, body_pos, body_quat, key=None, wanted=None):
         cfg: StereoDepthCameraConfig = self.cfg
-        out = super().render(state, body_pos, body_quat)
-        right = self._right.render(state, body_pos, body_quat)
+        # the stereo model itself consumes left depth (+ position for
+        # invalidation) and right depth only
+        if wanted is not None:
+            wanted = tuple(set(wanted) | {"depth"})
+        out = super().render(state, body_pos, body_quat, wanted=wanted)
+        right = self._right.render(
+            state, body_pos, body_quat, wanted=("depth",))
         H, W = cfg.height, cfg.width
         z = out["depth"]  # (H, W) float32 meters, inf = no hit
         zr = right["depth"]
@@ -119,8 +128,9 @@ class StereoDepthCamera(Camera):
         out["depth"] = jnp.where(valid, z_q, 0.0)
         # invalidated points vanish from the pointcloud too (pipeline
         # filters nonfinite positions)
-        out["position"] = jnp.where(
-            valid[..., None], out["position"], jnp.inf
-        )
+        if "position" in out:
+            out["position"] = jnp.where(
+                valid[..., None], out["position"], jnp.inf
+            )
         out["stereo_valid"] = valid
         return out

@@ -122,31 +122,10 @@ class LinkView:
     def bbox_half(self) -> np.ndarray:
         """AABB half-extents of the link's collision primitives in the
         link frame (reference Link mesh/bbox API, link.py:200s)."""
-        lo = np.full(3, np.inf)
-        hi = np.full(3, -np.inf)
-        for g in self._env.model.geoms:
-            if g.kind != BodyKind.ROBOT_LINK or g.body != self.index:
-                continue
-            size = np.asarray(g.size)
-            if int(g.gtype) == 1:  # sphere
-                ext = np.full(3, size[0])
-            elif int(g.gtype) == 3:  # capsule: radius, half_len along z
-                ext = np.array([size[0], size[0], size[0] + size[1]])
-            else:  # box and fallback
-                ext = size
-            # rotate the local half extents into the link frame (|R| @ h —
-            # exact for boxes, conservative for capsules)
-            from .math.rotations import quat_to_matrix
+        from .physics.shapes import body_collision_aabb_half
 
-            R = np.abs(np.asarray(quat_to_matrix(
-                np.asarray(g.offset_q, np.float64))))
-            ext = R @ ext
-            p = np.asarray(g.offset_p)
-            lo = np.minimum(lo, p - ext)
-            hi = np.maximum(hi, p + ext)
-        if not np.isfinite(lo).all():
-            return np.zeros(3, np.float32)
-        return ((hi - lo) / 2).astype(np.float32)
+        return body_collision_aabb_half(
+            self._env.model.geoms, self.index, BodyKind.ROBOT_LINK)
 
 
 class FrameView(LinkView):

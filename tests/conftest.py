@@ -19,6 +19,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
+# The axon TPU plugin's sitecustomize force-selects its backend regardless
+# of JAX_PLATFORMS in the environment; backend init is lazy, so overriding
+# the config here (before any array is created) still wins. Without this,
+# "CPU" test runs silently execute over the TPU tunnel and serialize
+# against every other TPU user (observed round 5: a 20-min hang on the
+# first test).
+try:
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
+
 # persistent compilation cache: repeat test runs skip XLA recompiles. The
 # directory is keyed by environment kind AND host CPU features — serialized
 # CPU executables mis-execute across feature drift (maniskill_tpu/_cache.py)

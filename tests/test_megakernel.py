@@ -132,3 +132,36 @@ def test_megakernel_capsule_models(env_id):
     np.testing.assert_allclose(
         np.asarray(sim_k.contact_lam), np.asarray(sim_x.contact_lam),
         atol=1e-2)
+
+
+@pytest.mark.parametrize("env_id", ["PickSingleHull-v1"])
+def test_megakernel_hull_models(env_id):
+    """Convex-hull narrowphase in-kernel (per-env padded vertex/face
+    tables riding the input plane) matches the XLA path — the
+    PickSingleYCB/heterogeneous-object scene class (VERDICT r4 item 3)."""
+    env = mst.make(env_id, num_envs=4)
+    env.reset(seed=0)
+    model = env.model
+    from maniskill_tpu.physics.megakernel import _hull_cost
+
+    assert _hull_cost(model) > 0, "scene has no hull pairs?"
+    assert megakernel.supports(model), env_id
+    sim = jax.tree.map(lambda x: x[:4], env._state.sim)
+    cmd = jax.tree.map(lambda x: x[:4], env._state.cmd)
+    k_step = megakernel.make_pallas_step_fn(
+        model, sim_steps=2, interpret=True, eb=128)
+    sim_k, _ = k_step(sim, cmd)
+    xla = make_step_fn(model)
+    sim_x = jax.vmap(lambda s, c: xla(s, c, 2))(sim, cmd)
+    np.testing.assert_allclose(
+        np.asarray(sim_k.qpos), np.asarray(sim_x.qpos), atol=5e-5)
+    np.testing.assert_allclose(
+        np.asarray(sim_k.qvel), np.asarray(sim_x.qvel), atol=5e-4)
+    np.testing.assert_allclose(
+        np.asarray(sim_k.free_pose), np.asarray(sim_x.free_pose),
+        atol=5e-5)
+    np.testing.assert_allclose(
+        np.asarray(sim_k.free_vel), np.asarray(sim_x.free_vel), atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(sim_k.contact_lam), np.asarray(sim_x.contact_lam),
+        atol=1e-2)

@@ -37,14 +37,12 @@ def test_committed_mpc_results_meet_bar_and_are_fresh():
     assert res["PushCube-v1"]["success_rate"] >= 0.6
     assert res["PickCube-v1"]["success_rate"] >= 0.6
     assert res["PullCube-v1"]["success_rate"] >= 0.6
-    # freshness: the device-loop driver records the replanning rate
+    # freshness: every row must carry the device-loop driver's replan rate
+    # (VERDICT r4 weak #8: a skip here let a stale artifact pass CI)
     stale = [t for t, row in res.items() if "replan_hz" not in row]
-    if stale:
-        pytest.skip(
-            f"MPC_RESULTS.json rows {stale} predate the device-loop driver "
-            "— regenerate on TPU with tools/solve_tasks.py (the artifact "
-            "still passes the success bar above)"
-        )
+    assert not stale, (
+        f"MPC_RESULTS.json rows {stale} predate the device-loop driver — "
+        "regenerate on TPU with tools/solve_tasks.py")
 
 
 @pytest.mark.skipif(

@@ -79,15 +79,19 @@ def _replay(env, actions, seed):
 
 
 def _task_config(env_id):
-    """The SHIPPING MPPI settings (single source of truth:
-    tools/solve_tasks.py TASKS — the configs MPC_RESULTS.json was
-    measured with)."""
+    """The SHIPPING planner settings (single source of truth:
+    tools/solve_tasks.py TASKS/PLANNERS — the configs MPC_RESULTS.json was
+    measured with, incl. the flagship cem-ilqr / H=80 entries)."""
     from maniskill_tpu.planners.mppi import MPPIConfig
-    from solve_tasks import MAX_STEPS, TASKS  # tools/ sibling
+    from solve_tasks import MAX_STEPS, PLANNERS, TASKS  # tools/ sibling
 
-    return (TASKS.get(env_id, MPPIConfig(horizon=25, num_samples=2048,
-                                         sigma=0.5, temperature=0.2)),
-            MAX_STEPS.get(env_id, 50))
+    if env_id in PLANNERS:
+        planner, cfg = PLANNERS[env_id]
+    else:
+        planner, cfg = "mppi", TASKS.get(
+            env_id, MPPIConfig(horizon=25, num_samples=2048,
+                               sigma=0.5, temperature=0.2))
+    return planner, cfg, MAX_STEPS.get(env_id, 50)
 
 
 def run_convergence(env_id: str, episodes: int, refine: int = 4):
@@ -108,8 +112,8 @@ def run_convergence(env_id: str, episodes: int, refine: int = 4):
     fine = SimParams(dt=p0.dt, substeps=int(p0.substeps) * refine)
     env_fine = mst.make(env_id, num_envs=1, obs_mode="none", sim_params=fine)
 
-    cfg, max_steps = _task_config(env_id)
-    planner = make_planner(env, "mppi", cfg)
+    planner_name, cfg, max_steps = _task_config(env_id)
+    planner = make_planner(env, planner_name, cfg)
     out = []
     K = 5  # early-horizon window for open-loop divergence (pre-chaos)
     for ep in range(episodes):
@@ -130,7 +134,7 @@ def run_convergence(env_id: str, episodes: int, refine: int = 4):
         # the fine world additionally measures model-mismatch robustness;
         # reported as a diagnostic, not gated — MPC replans from true
         # state but grasp force balances are h-sensitive.)
-        planner_fine = make_planner(env_fine, "mppi", cfg)
+        planner_fine = make_planner(env_fine, planner_name, cfg)
         r_fine = run_episode_device(env_fine, planner_fine, seed=ep,
                                     max_steps=max_steps)
         r_mismatch = run_episode_device(env_fine, planner, seed=ep,

@@ -60,6 +60,34 @@ TASKS = {
 MAX_STEPS = {
     "PickCube-v1": 100,
     "OpenCabinetDrawer-v1": 100,
+    "StackCube-v1": 100,
+    "PegInsertionSide-v1": 120,
+    "PickSingleYCB-v1": 100,
+}
+
+# BASELINE.json flagship configs #3-#5 (non-default planner / budgets)
+from maniskill_tpu.planners.mpc import CEMILQRConfig
+from maniskill_tpu.planners.cem import CEMConfig
+from maniskill_tpu.planners.ilqr import ILQRConfig
+
+PLANNERS = {
+    # config #3: "StackCube-v1, Panda, CEM with iLQR refinement,
+    # contact-rich cost, horizon 60"
+    "StackCube-v1": ("cem-ilqr", CEMILQRConfig(
+        cem=CEMConfig(horizon=60, num_samples=1024, num_elites=64,
+                      iterations=4, init_sigma=0.5),
+        ilqr=ILQRConfig(horizon=60, iterations=3, action_penalty=1e-3),
+    )),
+    # config #4: "PegInsertionSide-v1, Panda, tight-tolerance contact QP
+    # blocks, horizon 80, 16k rollouts"
+    "PegInsertionSide-v1": ("mppi", MPPIConfig(
+        horizon=80, num_samples=16384,
+        sigma=np.array([0.4] * 7 + [0.1], np.float32), temperature=0.1)),
+    # config #5 (single-chip shard of the pod-sharded 64k: 8k rollouts/chip;
+    # the full 64k sharded program is tools/pod_pick_ycb.py)
+    "PickSingleYCB-v1": ("mppi", MPPIConfig(
+        horizon=50, num_samples=8192,
+        sigma=np.array([0.4] * 7 + [0.1], np.float32), temperature=0.1)),
 }
 
 
@@ -72,23 +100,26 @@ def main():
     except Exception:
         pass
     for name in names:
-        cfg = TASKS.get(name, MPPIConfig(horizon=25, num_samples=2048))
+        planner, cfg = PLANNERS.get(name) or (
+            "mppi", TASKS.get(name, MPPIConfig(horizon=25, num_samples=2048)))
         t0 = time.time()
         # device_loop: plan+step fused in one on-device scan — the replan
         # rate is the real control frequency, not tunnel round-trips.
         # max_steps=2x the registered horizon (grasp-and-place runs need
         # headroom past the TimeLimit; the recorded mean_steps shows which
         # episodes would fit the registered limit)
-        r = solve_task(name, planner="mppi", config=cfg, episodes=5,
+        r = solve_task(name, planner=planner, config=cfg, episodes=5,
                        seed=0, device_loop=True, max_steps=MAX_STEPS.get(name))
         wall = time.time() - t0
+        base_cfg = cfg.cem if hasattr(cfg, "cem") else cfg
         results[name] = dict(
             success_rate=r["success_rate"],
             mean_steps=r["mean_steps"],
             mean_return=r["mean_return"],
             replan_hz=round(r["replan_hz"], 2),
-            horizon=cfg.horizon,
-            num_samples=cfg.num_samples,
+            planner=planner,
+            horizon=base_cfg.horizon,
+            num_samples=base_cfg.num_samples,
             episodes=5,
             wall_s=round(wall, 1),
         )
