@@ -44,6 +44,13 @@ def cache_dir(repo_root: str | None = None) -> str:
     axon = any(".axon_site" in p for p in sys.path) or (
         ".axon_site" in os.environ.get("PYTHONPATH", "")
     )
+    # key by EXECUTION backend, not just environment: under the axon site
+    # with JAX_PLATFORMS=cpu (or conftest's forced-cpu override), programs
+    # compile and run on the local CPU — sharing the axon cache then mixes
+    # remote-compile-host CPU artifacts into local runs (observed round 5:
+    # SIGSEGV inside XLA:CPU during a test run in the axon env)
+    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        axon = False
     base = ".jax_cache" if axon else ".jax_cache_bare"
     return os.path.join(repo_root, base, host_fingerprint())
 

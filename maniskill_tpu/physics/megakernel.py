@@ -173,18 +173,29 @@ def supports(model: SceneModel) -> bool:
     for g in model.geoms:
         if g.kind == BodyKind.ROBOT_LINK and g.body < -1:
             return False
-    # VMEM budget gate. Since the round-3 chunked per-point pipeline the
-    # persistent per-point cost is ~10 (P, 8, 128) stacks (narrowphase +
-    # lever arms) + the lam/lamt carry, with per-dof transients capped at
-    # (n_active x 3 x _CHUNK); estimate total VMEM and fall back to XLA
-    # past ~80 MB. n_all is additionally capped: the scalarized Cholesky
-    # is O(n_all^3) unrolled ops (compile-time bound, not VMEM).
+    # VMEM budget gate; n_all is additionally capped: the scalarized
+    # Cholesky is O(n_all^3) unrolled ops (compile-time bound, not VMEM).
+    if model.nq + 6 * model.n_free > 32:
+        return False
+    est_full, est_chunked = _vmem_estimates(model)
+    return min(est_full, est_chunked) <= _VMEM_BUDGET
+
+
+_VMEM_BUDGET = 80 * 1024 * 1024
+
+
+def _vmem_estimates(model):
+    """(full-stack, chunked-narrowphase) VMEM estimates in bytes.
+
+    Full mode holds the whole-P narrowphase stacks (cpos/cnrm/cdep + lever
+    arms, ~10 (P, 8, 128) arrays) for the substep; chunked mode (round 5)
+    recomputes narrowphase per _CHUNK of points in both contact passes, so
+    only the lam/lamt carry is P-persistent — what lets multi-robot scenes
+    (TwoRobotPushCube P=832) fit."""
     nq = model.nq
     F = model.n_free
     P = model.n_points
     n_all = nq + 6 * F
-    if n_all > 32:
-        return False
     nb = model.robot.nb if model.robot else 0
     nk = getattr(model, "n_kin", 0)
     G = len(model.geoms)
@@ -195,13 +206,12 @@ def supports(model: SceneModel) -> bool:
     r_in = (8 * nq + 13 * F + 7 * nk + 10 * G + 7 * F + 4 * P
             + nh * (3 * HULL_P + 4 * HULL_F))
     r_out = 2 * nq + 13 * F + 7 * P + 10 * nb
-    persistent = 14 * P          # cpos/cnrm/cdep/rel + lam/lamt carry+new
     transient = (n_all * 3 + 24) * _CHUNK
     small = 2 * (n_all * n_all) + 12 * nb + 8 * G
-    est = (r_in + r_out + persistent + transient + small) * tile
-    if est > 80 * 1024 * 1024:
-        return False
-    return True
+    base = (r_in + r_out + transient + small) * tile
+    est_full = base + 14 * P * tile  # cpos/cnrm/cdep/rel + lam/lamt carry
+    est_chunked = base + 4 * P * tile  # lam/lamt carry only
+    return est_full, est_chunked
 
 
 class _Plan:
@@ -231,6 +241,10 @@ class _Plan:
             model
         )
         self.P = len(meta_a)
+        # narrowphase mode: full-P stacks when they fit in VMEM, else
+        # recompute per chunk (_vmem_estimates)
+        est_full, _est_chunked = _vmem_estimates(model)
+        self.full_stacks = est_full <= _VMEM_BUDGET
         self.cmu = np.asarray(cmu, np.float32)
         self.ck = np.asarray(ck, np.float32)
         anc = np.asarray(model.ancestor_mask, np.float32)  # (nb, nq)
@@ -601,12 +615,12 @@ def _build_kernel(plan: _Plan, n_substeps: int, eb: int = EB):
                 gpos.append(_add(pp, _qapply(pq, op)))
                 gquat.append(_qmul(pq, oq))
 
-            # ---------------- narrowphase (all P points) ----------------
-            # computed into (P, 8, 128) component stacks, mirroring the
-            # engine's per-group vmapped evaluation order exactly
-            cpos_c = [[], [], []]
-            cnrm_c = [[], [], []]
-            cdep_l = []
+            # ---------------- narrowphase ----------------
+            # mirrors the engine's per-group vmapped evaluation order
+            # exactly. Full mode: all P points into (P, 8, 128) stacks.
+            # Chunked mode (plan.full_stacks False): emit_group is called
+            # per chunk on the overlapping pairs only — nothing
+            # P-persistent but the lam/lamt carry.
 
             def rep(t, n):
                 return [t] * n
@@ -680,10 +694,10 @@ def _build_kernel(plan: _Plan, n_substeps: int, eb: int = EB):
                 n_w = _qapply(tuple(qb), n_loc)
                 return corner, n_w, -sdf
 
-            for (fn, npts, ia_arr, ib_arr, _mu) in model.pair_groups:
+            def emit_group(fn, ia_l, ib_l):
+                """Narrowphase of (a subset of) one pair group's pairs ->
+                (pos3, nrm3, dep) stacks, pair-major (engine order)."""
                 name = fn.__name__
-                ia_l = [int(i) for i in ia_arr]
-                ib_l = [int(i) for i in ib_arr]
                 npair = len(ia_l)
                 if name == "plane_box":
                     # world plane normal; 8 box corners per pair
@@ -1056,11 +1070,18 @@ def _build_kernel(plan: _Plan, n_substeps: int, eb: int = EB):
                             nrm = _scale(nrm, -1.0)
                 else:  # pragma: no cover — guarded by supports()
                     raise NotImplementedError(name)
-                for c in range(3):
-                    cpos_c[c].append(pos[c])
-                    cnrm_c[c].append(nrm[c])
-                cdep_l.append(dep)
+                return pos, nrm, dep
 
+            # static group layout: (start point, pts per pair, fn, ia, ib)
+            group_layout = []
+            _goff = 0
+            for (fn, npts, ia_arr, ib_arr, _mu) in model.pair_groups:
+                ia_l = [int(i) for i in ia_arr]
+                ib_l = [int(i) for i in ib_arr]
+                group_layout.append((_goff, int(npts), fn, ia_l, ib_l))
+                _goff += int(npts) * len(ia_l)
+
+            cpos = cnrm = cdep = None
             if P == 0:
                 # single-tile dummies: Mosaic rejects zero-sized vectors,
                 # and nothing consumes these values when P == 0
@@ -1068,7 +1089,16 @@ def _build_kernel(plan: _Plan, n_substeps: int, eb: int = EB):
                 cpos = (zp3, zp3, zp3)
                 cnrm = (zp3, zp3, zp3)
                 cdep = zp3
-            else:
+            elif plan.full_stacks:
+                cpos_c = [[], [], []]
+                cnrm_c = [[], [], []]
+                cdep_l = []
+                for (_g0, _npts, fn, ia_l, ib_l) in group_layout:
+                    pos, nrm, dep = emit_group(fn, ia_l, ib_l)
+                    for c in range(3):
+                        cpos_c[c].append(pos[c])
+                        cnrm_c[c].append(nrm[c])
+                    cdep_l.append(dep)
                 cpos = tuple(
                     jnp.concatenate(cpos_c[c], axis=0) for c in range(3)
                 )
@@ -1076,6 +1106,39 @@ def _build_kernel(plan: _Plan, n_substeps: int, eb: int = EB):
                     jnp.concatenate(cnrm_c[c], axis=0) for c in range(3)
                 )
                 cdep = jnp.concatenate(cdep_l, axis=0)  # (P, 8, 128)
+
+            def narrow_slice(c0, c1):
+                """(pos3, nrm3, dep) for points [c0:c1) — sliced from the
+                full stacks, or recomputed from the overlapping pairs."""
+                if cpos is not None:
+                    return (tuple(cpos[c][c0:c1] for c in range(3)),
+                            tuple(cnrm[c][c0:c1] for c in range(3)),
+                            cdep[c0:c1])
+                pp = [[], [], []]
+                nn_ = [[], [], []]
+                dd = []
+                for (g0, rep_g, fn, ia_l, ib_l) in group_layout:
+                    g1 = g0 + rep_g * len(ia_l)
+                    if g1 <= c0 or g0 >= c1:
+                        continue
+                    j_lo = max(0, (c0 - g0) // rep_g)
+                    j_hi = min(len(ia_l) - 1, (c1 - 1 - g0) // rep_g)
+                    pos, nrm, dep = emit_group(
+                        fn, ia_l[j_lo:j_hi + 1], ib_l[j_lo:j_hi + 1])
+                    base0 = g0 + j_lo * rep_g
+                    lo = max(c0, base0) - base0
+                    hi = min(c1, g0 + (j_hi + 1) * rep_g) - base0
+                    for c in range(3):
+                        pp[c].append(pos[c][lo:hi])
+                        nn_[c].append(nrm[c][lo:hi])
+                    dd.append(dep[lo:hi])
+
+                def cat(xs):
+                    return xs[0] if len(xs) == 1 else jnp.concatenate(
+                        xs, axis=0)
+
+                return (tuple(cat(pp[c]) for c in range(3)),
+                        tuple(cat(nn_[c]) for c in range(3)), cat(dd))
 
             # ---------------- per-point pipeline (CHUNKED) ---------------
             # Per-dof × per-point products are processed _CHUNK points at a
@@ -1091,18 +1154,16 @@ def _build_kernel(plan: _Plan, n_substeps: int, eb: int = EB):
                     (c0, min(c0 + _CHUNK, P))
                     for c0 in range(0, P, _CHUNK)
                 ]
-                relx = cpos[0] - ref[0]
-                rely = cpos[1] - ref[1]
-                relz = cpos[2] - ref[2]
                 d_n0_f = pcst(_r_dn0)
                 cmu_f = pcst(_r_cmu)
 
-                def side_vel(c0, c1, r_idx, f_idx, vbw, vbv, fvel_rows):
+                def side_vel(rel, pos_s, c0, c1, r_idx, f_idx, vbw, vbv,
+                             fvel_rows):
                     """Stacked point velocity of one side over [c0:c1)."""
                     rr = [int(b) for b in r_idx[c0:c1]]
                     ff = [int(j) for j in f_idx[c0:c1]]
                     n = c1 - c0
-                    rx, ry, rz = relx[c0:c1], rely[c0:c1], relz[c0:c1]
+                    rx, ry, rz = rel
                     zch = jnp.zeros((n, eb // 128, 128), jnp.float32)
                     if any(b >= 0 for b in rr):
                         vx = _stk([(vbv[b][0] if b >= 0 else zero) for b in rr])
@@ -1133,19 +1194,22 @@ def _build_kernel(plan: _Plan, n_substeps: int, eb: int = EB):
                                     for j in ff])
                         fpz = _stk([(fpose[7 * j + 2] if j >= 0 else zero)
                                     for j in ff])
-                        ax_ = cpos[0][c0:c1] - fpx
-                        ay_ = cpos[1][c0:c1] - fpy
-                        az_ = cpos[2][c0:c1] - fpz
+                        ax_ = pos_s[0] - fpx
+                        ay_ = pos_s[1] - fpy
+                        az_ = pos_s[2] - fpz
                         vx = vx + flx + fwy * az_ - fwz * ay_
                         vy = vy + fly + fwz * ax_ - fwx * az_
                         vz = vz + flz + fwx * ay_ - fwy * ax_
                     return vx, vy, vz
 
-                def point_vels(c0, c1, cn, vbw, vbv, fvel_rows):
-                    va = side_vel(c0, c1, plan.ra_idx, plan.fa_idx,
-                                  vbw, vbv, fvel_rows)
-                    vb = side_vel(c0, c1, plan.rb_idx, plan.fb_idx,
-                                  vbw, vbv, fvel_rows)
+                def point_vels(ctx, c0, c1, vbw, vbv, fvel_rows):
+                    cn = ctx["cn"]
+                    rel = ctx["rel"]
+                    pos_s = ctx["pos"]
+                    va = side_vel(rel, pos_s, c0, c1, plan.ra_idx,
+                                  plan.fa_idx, vbw, vbv, fvel_rows)
+                    vb = side_vel(rel, pos_s, c0, c1, plan.rb_idx,
+                                  plan.fb_idx, vbw, vbv, fvel_rows)
                     rvx, rvy, rvz = (va[0] - vb[0], va[1] - vb[1],
                                      va[2] - vb[2])
                     v_n = rvx * cn[0] + rvy * cn[1] + rvz * cn[2]
@@ -1153,9 +1217,11 @@ def _build_kernel(plan: _Plan, n_substeps: int, eb: int = EB):
                                  rvz - v_n * cn[2])
 
                 def chunk_ctx(c0, c1):
-                    """Warm-start/depth-dependent contact terms of a chunk."""
-                    cn = tuple(cnrm[c][c0:c1] for c in range(3))
-                    cd = cdep[c0:c1]
+                    """Narrowphase + warm-start/depth contact terms of a
+                    chunk (recomputed here in chunked-narrowphase mode)."""
+                    pos_s, cn, cd = narrow_slice(c0, c1)
+                    rel = (pos_s[0] - ref[0], pos_s[1] - ref[1],
+                           pos_s[2] - ref[2])
                     lam_ch = lam[c0:c1]
                     active = (cd > -margin).astype(jnp.float32)
                     pen_bias = jnp.minimum(
@@ -1167,7 +1233,8 @@ def _build_kernel(plan: _Plan, n_substeps: int, eb: int = EB):
                            + lamt[2][c0:c1] * cn[2])
                     lt = tuple(lamt[c][c0:c1] - ltn * cn[c] for c in range(3))
                     return dict(
-                        cn=cn, cd=cd, lam=lam_ch, active=active,
+                        pos=pos_s, rel=rel, cn=cn, cd=cd, lam=lam_ch,
+                        active=active,
                         t_vel=spec_b, t_pos=spec_b + pen_bias, lt=lt,
                         d_n0=d_n0_f[c0:c1], cmu=cmu_f[c0:c1],
                     )
@@ -1195,7 +1262,7 @@ def _build_kernel(plan: _Plan, n_substeps: int, eb: int = EB):
             for (c0, c1) in chunk_bounds:
                 ctx = chunk_ctx(c0, c1)
                 cn = ctx["cn"]
-                v_n, v_t = point_vels(c0, c1, cn, vb_w, vb_v, fvel)
+                v_n, v_t = point_vels(ctx, c0, c1, vb_w, vb_v, fvel)
                 f_n_vel, f_n_pos, f_t, sticking = forces_at(ctx, v_n, v_t)
                 # loaded gate (engine.py point_forces): stored-load points
                 # stay in the implicit LHS or resting bodies limit-cycle at
@@ -1220,7 +1287,7 @@ def _build_kernel(plan: _Plan, n_substeps: int, eb: int = EB):
                 # per-chunk static dof pruning: only dofs whose sign rows
                 # are nonzero in THIS chunk get C rows
                 Cr = {}
-                rx, ry, rz = relx[c0:c1], rely[c0:c1], relz[c0:c1]
+                rx, ry, rz = ctx["rel"]
                 for k in range(nq):
                     if not np.any(plan.sm[k][c0:c1]):
                         continue
@@ -1236,9 +1303,9 @@ def _build_kernel(plan: _Plan, n_substeps: int, eb: int = EB):
                     if not np.any(plan.sgn_free[j][c0:c1]):
                         continue
                     sj = pcst(nq + j)[c0:c1]
-                    ax_ = cpos[0][c0:c1] - fpose[7 * j]
-                    ay_ = cpos[1][c0:c1] - fpose[7 * j + 1]
-                    az_ = cpos[2][c0:c1] - fpose[7 * j + 2]
+                    ax_ = ctx["pos"][0] - fpose[7 * j]
+                    ay_ = ctx["pos"][1] - fpose[7 * j + 1]
+                    az_ = ctx["pos"][2] - fpose[7 * j + 2]
                     za = jnp.zeros_like(ax_)
                     sjo = sj * jnp.ones_like(ax_)
                     o = nq + 6 * j
@@ -1577,7 +1644,7 @@ def _build_kernel(plan: _Plan, n_substeps: int, eb: int = EB):
                 for (c0, c1) in chunk_bounds:
                     ctx = chunk_ctx(c0, c1)
                     v_n2, v_t2 = point_vels(
-                        c0, c1, ctx["cn"], vb_w2, vb_v2, fvel_n
+                        ctx, c0, c1, vb_w2, vb_v2, fvel_n
                     )
                     f_n_vel2, _fnp2, f_t2, _st2 = forces_at(ctx, v_n2, v_t2)
                     touch = jnp.clip(1.0 + ctx["cd"] / 1e-3, 0.0, 1.0)

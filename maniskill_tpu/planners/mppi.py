@@ -34,11 +34,28 @@ class MPPIConfig(NamedTuple):
     # workpiece" on mobile-manipulation tasks, where the reaching reward
     # is flat beyond ~0.4 m and undirected exploration never finds it)
     nominal_init: object = None
+    # quadratic control cost per step (classic MPPI λ·uᵀΣ⁻¹u analogue):
+    # biases the importance-weighted nominal toward stillness, which is
+    # what success criteria of the is_robot_static family require
+    ctrl_cost: float = 0.0
+    # temporal noise correlation β (OU-style): ε_t = β ε_{t-1} +
+    # sqrt(1-β²) ξ_t. Smooth exploration keeps the weighted nominal from
+    # inheriting per-step jitter (the arm then PD-chases a quieter
+    # target). 0 = white noise.
+    noise_beta: float = 0.0
 
 
 class MPPIState(NamedTuple):
     nominal: jnp.ndarray  # (H, A) nominal control sequence
     key: jnp.ndarray
+    # hyperparameters ride the planner STATE (traced operands, not
+    # trace-time constants) so retuning sigma/temperature reuses the
+    # compiled solve — a remote-compile round trip costs ~an hour on the
+    # tunneled TPU, a cache hit costs nothing
+    sigma: jnp.ndarray = None  # (A,) exploration std
+    temperature: jnp.ndarray = None  # () softmax temperature λ
+    ctrl_cost: jnp.ndarray = None  # () quadratic action penalty weight
+    noise_beta: jnp.ndarray = None  # () temporal noise correlation
 
 
 class MPPI:
@@ -76,12 +93,21 @@ class MPPI:
             """One MPPI solve from a single env state. env_state is a
             single-env EnvState pytree."""
             key, k_noise = jax.random.split(planner_state.key)
-            noise = (
-                jax.random.normal(
-                    k_noise, (cfg.num_samples, cfg.horizon, self.action_dim)
-                )
-                * cfg.sigma
+            white = jax.random.normal(
+                k_noise, (cfg.num_samples, cfg.horizon, self.action_dim)
             )
+            # OU-style temporal smoothing along the horizon (β=0 -> white)
+            beta = planner_state.noise_beta
+
+            def smooth(carry, xi):
+                eps = beta * carry + jnp.sqrt(1.0 - beta * beta) * xi
+                return eps, eps
+
+            _, smoothed = jax.lax.scan(
+                smooth, jnp.zeros((cfg.num_samples, self.action_dim)),
+                jnp.swapaxes(white, 0, 1))
+            noise = (jnp.swapaxes(smoothed, 0, 1)
+                     * planner_state.sigma[None, None, :])
             if self.mesh is not None:
                 noise = jax.lax.with_sharding_constraint(
                     noise,
@@ -96,8 +122,10 @@ class MPPI:
             # that blew up (non-finite return) gets -inf weight instead of
             # poisoning the whole softmax — simulator divergence on one
             # violent sample must not kill the planner.
+            returns = returns - planner_state.ctrl_cost * jnp.sum(
+                controls * controls, axis=(1, 2))
             returns = jnp.where(jnp.isfinite(returns), returns, -jnp.inf)
-            w = jax.nn.softmax(returns / cfg.temperature)
+            w = jax.nn.softmax(returns / planner_state.temperature)
             nominal = jnp.einsum("k,khA->hA", w, controls)
             info = dict(
                 best_return=returns.max(),
@@ -105,7 +133,7 @@ class MPPI:
                 ess=1.0 / jnp.sum(w * w),
                 any_success=succ.any(),
             )
-            return MPPIState(nominal=nominal, key=key), info
+            return planner_state._replace(nominal=nominal, key=key), info
 
         self._solve = jax.jit(solve)
 
@@ -114,7 +142,7 @@ class MPPI:
             ps, info = solve(planner_state, env_state)
             action = ps.nominal[0]
             shifted = jnp.concatenate([ps.nominal[1:], ps.nominal[-1:]])
-            return MPPIState(nominal=shifted, key=ps.key), action, info
+            return ps._replace(nominal=shifted), action, info
 
         self._plan_step = jax.jit(plan_step)
 
@@ -125,7 +153,13 @@ class MPPI:
                 nom.shape, (self.config.horizon, self.action_dim))
         else:
             nom = jnp.zeros((self.config.horizon, self.action_dim))
-        return MPPIState(nominal=nom, key=jax.random.key(seed))
+        sigma = jnp.broadcast_to(
+            jnp.asarray(self.config.sigma, jnp.float32), (self.action_dim,))
+        return MPPIState(
+            nominal=nom, key=jax.random.key(seed), sigma=sigma,
+            temperature=jnp.asarray(self.config.temperature, jnp.float32),
+            ctrl_cost=jnp.asarray(self.config.ctrl_cost, jnp.float32),
+            noise_beta=jnp.asarray(self.config.noise_beta, jnp.float32))
 
     def solve(self, planner_state: MPPIState, env_state):
         return self._solve(planner_state, env_state)

@@ -8,7 +8,10 @@ pytest starts; run tests as
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# hard override (not setdefault): the axon environment exports
+# JAX_PLATFORMS=axon and its sitecustomize force-selects the TPU; tests
+# are CPU-only by design
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

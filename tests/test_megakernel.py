@@ -165,3 +165,37 @@ def test_megakernel_hull_models(env_id):
     np.testing.assert_allclose(
         np.asarray(sim_k.contact_lam), np.asarray(sim_x.contact_lam),
         atol=1e-2)
+
+
+def test_megakernel_chunked_narrowphase_matches_xla(pick_env):
+    """Chunked-narrowphase mode (recompute per chunk instead of full-P
+    stacks — the VMEM path that admits multi-robot scenes like
+    TwoRobotPushCube P=832) must produce the same physics as full mode."""
+    env = pick_env
+    env.reset(seed=0)
+    model = env.model
+    from maniskill_tpu.physics.megakernel import _Plan, _plan_for
+
+    plan = _plan_for(model)
+    assert plan.full_stacks  # PickCube fits the full path by default
+    sim = jax.tree.map(lambda x: x[:4], env._state.sim)
+    cmd = jax.tree.map(lambda x: x[:4], env._state.cmd)
+    try:
+        plan.full_stacks = False  # force the chunked path
+        k_step = megakernel.make_pallas_step_fn(
+            model, sim_steps=2, interpret=True, eb=128)
+        sim_k, _ = k_step(sim, cmd)
+    finally:
+        plan.full_stacks = True
+    xla = make_step_fn(model)
+    sim_x = jax.vmap(lambda s, c: xla(s, c, 2))(sim, cmd)
+    np.testing.assert_allclose(
+        np.asarray(sim_k.qpos), np.asarray(sim_x.qpos), atol=5e-5)
+    np.testing.assert_allclose(
+        np.asarray(sim_k.qvel), np.asarray(sim_x.qvel), atol=5e-4)
+    np.testing.assert_allclose(
+        np.asarray(sim_k.free_pose), np.asarray(sim_x.free_pose),
+        atol=5e-5)
+    np.testing.assert_allclose(
+        np.asarray(sim_k.contact_lam), np.asarray(sim_x.contact_lam),
+        atol=1e-2)

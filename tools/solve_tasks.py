@@ -72,7 +72,10 @@ from maniskill_tpu.planners.ilqr import ILQRConfig
 
 PLANNERS = {
     # config #3: "StackCube-v1, Panda, CEM with iLQR refinement,
-    # contact-rich cost, horizon 60"
+    # contact-rich cost, horizon 60". sim_backend pinned to XLA: the
+    # CEM+iLQR episode program with the Pallas kernel inside faults the
+    # TPU at runtime (2/2 repro round 5) — the pure-XLA path is the
+    # gradient path anyway.
     "StackCube-v1": ("cem-ilqr", CEMILQRConfig(
         cem=CEMConfig(horizon=60, num_samples=1024, num_elites=64,
                       iterations=4, init_sigma=0.5),
@@ -88,6 +91,11 @@ PLANNERS = {
     "PickSingleYCB-v1": ("mppi", MPPIConfig(
         horizon=50, num_samples=8192,
         sigma=np.array([0.4] * 7 + [0.1], np.float32), temperature=0.1)),
+}
+
+
+ENV_KWARGS = {
+    "StackCube-v1": dict(sim_backend="xla"),
 }
 
 
@@ -109,7 +117,8 @@ def main():
         # headroom past the TimeLimit; the recorded mean_steps shows which
         # episodes would fit the registered limit)
         r = solve_task(name, planner=planner, config=cfg, episodes=5,
-                       seed=0, device_loop=True, max_steps=MAX_STEPS.get(name))
+                       seed=0, device_loop=True, max_steps=MAX_STEPS.get(name),
+                       env_kwargs=ENV_KWARGS.get(name))
         wall = time.time() - t0
         base_cfg = cfg.cem if hasattr(cfg, "cem") else cfg
         results[name] = dict(
