@@ -308,20 +308,34 @@ def solve_roll_ball(env, recorder=None):
     goal = np.asarray(
         env._state.sim.kin_pose[:, env.model.kin_index["goal_region"], :3]
     )
-    for _ in range(35):
-        tcp, ball = _tcp_and_actor(env, "ball")
-        d = goal[:, :2] - ball[:, :2]
-        n = np.linalg.norm(d, axis=1, keepdims=True).clip(1e-6)
-        tgt = np.concatenate([ball[:, :2] - d / n * 0.07,
-                              np.full((B, 1), 0.05)], 1)
-        out = act(np.clip((tgt - tcp) * 3.0, -0.4, 0.4))
-    for _ in range(45):
-        tcp, ball = _tcp_and_actor(env, "ball")
-        d = goal[:, :2] - ball[:, :2]
-        n = np.linalg.norm(d, axis=1, keepdims=True).clip(1e-6)
-        tgt = np.concatenate([ball[:, :2] - d / n * 0.03 + d * 0.5,
-                              np.full((B, 1), 0.035)], 1)
-        out = act(np.clip((tgt - tcp) * 3.0, -0.35, 0.35))
+    # strike cycles: line up behind the ball, accelerate THROUGH it toward
+    # the goal (a slow carry stops with the tcp; the ball must ROLL), wait
+    # for the roll to settle, repeat. Done envs hold still (zero error).
+    for _cycle in range(4):
+        for _ in range(22):  # line up behind the ball, above trap height
+            tcp, ball = _tcp_and_actor(env, "ball")
+            d = goal[:, :2] - ball[:, :2]
+            dist = np.linalg.norm(d, axis=1, keepdims=True)
+            done = dist < 0.07
+            n = dist.clip(1e-6)
+            tgt = np.concatenate([ball[:, :2] - d / n * 0.08,
+                                  np.full((B, 1), 0.045)], 1)
+            err = np.where(done, 0.0, (tgt - tcp) * 3.0)
+            out = act(np.clip(err, -0.4, 0.4))
+        for _ in range(10):  # strike through the ball center
+            tcp, ball = _tcp_and_actor(env, "ball")
+            d = goal[:, :2] - ball[:, :2]
+            dist = np.linalg.norm(d, axis=1, keepdims=True)
+            done = dist < 0.07
+            n = dist.clip(1e-6)
+            thrust = np.concatenate([d / n, np.zeros((B, 1))], 1)
+            # strike magnitude scales with remaining distance
+            mag = np.clip(0.35 + 0.6 * dist, 0.0, 1.0)
+            out = act(np.where(done, 0.0, thrust * mag))
+        for _ in range(18):  # let it roll; retreat up and clear
+            tcp, ball = _tcp_and_actor(env, "ball")
+            up = np.tile(np.array([0.0, 0, 0.12], np.float32), (B, 1))
+            out = act(np.clip(up - 0.0 * tcp, -0.3, 0.3))
     info = out[-1]
     return np.asarray(info.get("success"))
 
@@ -417,6 +431,22 @@ def solve_lift_peg_upright(env, recorder=None):
     sv.to(lambda: np.concatenate(
         [peg()[0][:, :2], np.full((B, 1), 0.30)], 1),
         steps=70, grip=-1.0, rot_fn=rot_err, rot_clip=0.8)
+    # some spawns stall the pitch mid-way on a wrist limit (observed:
+    # dir_z plateaus ~0.45); give those envs a yaw nudge to re-configure
+    # the wrist, then finish the rotation
+    def rot_err_with_escape():
+        e = rot_err()
+        d = peg_dir()
+        stalled = (np.abs(d[:, 2:3]) < 0.8).astype(np.float32)
+        e[:, 2] += 0.5 * stalled[:, 0]
+        return e
+
+    sv.to(lambda: np.concatenate(
+        [peg()[0][:, :2], np.full((B, 1), 0.30)], 1),
+        steps=30, grip=-1.0, rot_fn=rot_err_with_escape, rot_clip=0.8)
+    sv.to(lambda: np.concatenate(
+        [peg()[0][:, :2], np.full((B, 1), 0.30)], 1),
+        steps=40, grip=-1.0, rot_fn=rot_err, rot_clip=0.8)
     # lower until the peg base is just above the table, release, retreat:
     # a near-upright 2L peg standing on its end is statically stable
     # (CoM-over-base margin atan(w/L) ≈ 0.2 rad >> the residual tilt), so
