@@ -35,8 +35,13 @@ def test_committed_mpc_results_meet_bar_and_are_fresh():
     with open(path) as f:
         res = json.load(f)
     assert res["PushCube-v1"]["success_rate"] >= 0.6
-    assert res["PickCube-v1"]["success_rate"] >= 0.6
+    # bar raised round 5 (VERDICT r4 item 2) after the recovery to 0.8
+    assert res["PickCube-v1"]["success_rate"] >= 0.8
     assert res["PullCube-v1"]["success_rate"] >= 0.6
+    # flagship configs #3/#4 (BASELINE.json): StackCube CEM+iLQR and
+    # PegInsertionSide H=80/16k must stay demonstrated
+    assert res["StackCube-v1"]["success_rate"] >= 0.8
+    assert res["PegInsertionSide-v1"]["success_rate"] >= 0.4
     # freshness: every row must carry the device-loop driver's replan rate
     # (VERDICT r4 weak #8: a skip here let a stale artifact pass CI)
     stale = [t for t, row in res.items() if "replan_hz" not in row]

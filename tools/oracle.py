@@ -83,7 +83,8 @@ def _task_config(env_id):
     tools/solve_tasks.py TASKS/PLANNERS — the configs MPC_RESULTS.json was
     measured with, incl. the flagship cem-ilqr / H=80 entries)."""
     from maniskill_tpu.planners.mppi import MPPIConfig
-    from solve_tasks import MAX_STEPS, PLANNERS, TASKS  # tools/ sibling
+    from solve_tasks import (  # tools/ sibling
+        HOST_LOOP, MAX_STEPS, PLANNERS, TASKS)
 
     if env_id in PLANNERS:
         planner, cfg = PLANNERS[env_id]
@@ -91,7 +92,7 @@ def _task_config(env_id):
         planner, cfg = "mppi", TASKS.get(
             env_id, MPPIConfig(horizon=25, num_samples=2048,
                                sigma=0.5, temperature=0.2))
-    return planner, cfg, MAX_STEPS.get(env_id, 50)
+    return planner, cfg, MAX_STEPS.get(env_id, 50), env_id in HOST_LOOP
 
 
 def run_convergence(env_id: str, episodes: int, refine: int = 4):
@@ -112,12 +113,13 @@ def run_convergence(env_id: str, episodes: int, refine: int = 4):
     fine = SimParams(dt=p0.dt, substeps=int(p0.substeps) * refine)
     env_fine = mst.make(env_id, num_envs=1, obs_mode="none", sim_params=fine)
 
-    planner_name, cfg, max_steps = _task_config(env_id)
+    planner_name, cfg, max_steps, host_loop = _task_config(env_id)
     planner = make_planner(env, planner_name, cfg)
+    runner = run_episode if host_loop else run_episode_device
     out = []
     K = 5  # early-horizon window for open-loop divergence (pre-chaos)
     for ep in range(episodes):
-        r = run_episode_device(env, planner, seed=ep, max_steps=max_steps)
+        r = runner(env, planner, seed=ep, max_steps=max_steps)
         actions = r["actions"]
         if len(actions) == 0:
             continue
@@ -135,10 +137,10 @@ def run_convergence(env_id: str, episodes: int, refine: int = 4):
         # reported as a diagnostic, not gated — MPC replans from true
         # state but grasp force balances are h-sensitive.)
         planner_fine = make_planner(env_fine, planner_name, cfg)
-        r_fine = run_episode_device(env_fine, planner_fine, seed=ep,
-                                    max_steps=max_steps)
-        r_mismatch = run_episode_device(env_fine, planner, seed=ep,
-                                        max_steps=max_steps)
+        r_fine = runner(env_fine, planner_fine, seed=ep,
+                        max_steps=max_steps)
+        r_mismatch = runner(env_fine, planner, seed=ep,
+                            max_steps=max_steps)
         out.append(dict(
             episode=ep,
             steps=int(len(actions)),

@@ -136,10 +136,12 @@ def scaling_model(per_solve_bytes, n_collectives, chip_solve_s):
     return rows
 
 
-def timed_weak_scaling(mesh, env, rollout_axis, n_solves=3):
+def timed_weak_scaling(mesh, env, rollout_axis, n_solves=1):
     """Run + time n_solves batched solves on THIS mesh. On a virtual CPU
-    mesh the time is meaningless; on real hardware this is the >=80%
-    validation harness (compare solves/s at 1 host vs N)."""
+    mesh the time is meaningless (keep n_solves=1 there — one 64k solve
+    costs ~19 min of shared-thread-pool CPU); on real hardware raise
+    n_solves: this is the >=80% validation harness (compare solves/s at
+    1 host vs N)."""
     planner, solve, place, _ = build_batched_solver(mesh, env, rollout_axis)
     ps0 = planner.init(seed=0)
     ps_batch = jax.tree.map(
@@ -151,18 +153,19 @@ def timed_weak_scaling(mesh, env, rollout_axis, n_solves=3):
             jnp.arange(B)))
     env_states = env._state
     ps_batch, env_states = place(ps_batch, env_states)
-    ps2, info = solve(ps_batch, env_states)
-    jax.block_until_ready(info["best_return"])
-    t0 = time.perf_counter()
-    for _ in range(n_solves):
-        ps2, info = solve(ps2, env_states)
-    jax.block_until_ready(info["best_return"])
-    wall = (time.perf_counter() - t0) / n_solves
+    # collective profile from the compiled text (compile once, reused by
+    # the execution below)
     lowered = jax.jit(solve.__wrapped__
                       if hasattr(solve, "__wrapped__") else solve).lower(
         ps_batch, env_states)
     hlo = lowered.compile().as_text()
     counts, bytes_total = hlo_collectives(hlo)
+    t0 = time.perf_counter()
+    ps2 = ps_batch
+    for _ in range(max(1, n_solves)):
+        ps2, info = solve(ps2, env_states)
+    jax.block_until_ready(info["best_return"])
+    wall = (time.perf_counter() - t0) / max(1, n_solves)
     return ps2, info, wall, counts, bytes_total
 
 
@@ -194,6 +197,16 @@ def main():
         mesh = Mesh(np.array(devs[:n]), ("rollout",))
         axis = "rollout"
 
+    def write(out):
+        try:
+            with open("/root/repo/MULTICHIP_STUDY.json") as f:
+                study = json.load(f)
+        except Exception:
+            study = {}
+        study["pod_pick_ycb"] = out
+        with open("/root/repo/MULTICHIP_STUDY.json", "w") as f:
+            json.dump(study, f, indent=1)
+
     ps2, info, wall, counts, bytes_total = timed_weak_scaling(
         mesh, env, axis)
     nominal8 = np.asarray(ps2.nominal)
@@ -203,6 +216,7 @@ def main():
     out["best_return"] = float(info["best_return"])
     out["virtual_wall_s_per_solve"] = wall
     print("8-dev mesh:", out, flush=True)
+    write(out)  # incremental: a timeout below must not lose this phase
 
     # consistency vs a 1-device run of the same program
     mesh1 = Mesh(np.array(devs[:1]), ("rollout",))
