@@ -20,9 +20,17 @@ DEFAULT = [
 ]
 
 
+RESULTS_PATH = "/root/repo/SOLUTIONS_RESULTS.json"
+
+
 def main():
     ids = sys.argv[1:] or DEFAULT
     results = {}
+    try:  # merge into prior (possibly partial) runs
+        with open(RESULTS_PATH) as f:
+            results = json.load(f)
+    except Exception:
+        pass
     for env_id in ids:
         t0 = time.time()
         try:
@@ -40,7 +48,7 @@ def main():
             results[env_id] = {"error": f"{type(e).__name__}: {e}",
                                "wall_s": round(time.time() - t0, 1)}
         print(env_id, results[env_id], flush=True)
-    with open("SOLUTIONS_RESULTS.json", "w") as f:
+    with open(RESULTS_PATH, "w") as f:
         json.dump(results, f, indent=1)
 
 
