@@ -35,7 +35,12 @@ class FoldSuitcaseEnv(BaseEnv):
     base_half = (0.13, 0.09, 0.015)
     lid_half = (0.13, 0.09, 0.008)
     lid_qmax = 2.2  # rad past vertical; reference laptop_135-ish opening
-    suitcase_x = 0.03  # base center on the table
+    # base center on the table: close enough that the open lid's FAR face
+    # (the only face whose contact produces a closing torque — pressing the
+    # near face only opens the hinge further) is inside the panda's ~0.85 m
+    # envelope, matching the reference layout's reachable lid rim
+    # (reference fold_suitcase.py:341-405 waypoints grasp the rim directly)
+    suitcase_x = -0.10
 
     def _load_agent(self, builder: SceneSpecBuilder):
         self.table_scene = TableSceneBuilder(self)

@@ -45,6 +45,12 @@ def _actor_pose(env, actor: str) -> Tuple[np.ndarray, np.ndarray]:
     return raw[:, :3], raw[:, 3:7]
 
 
+def _actor_vel(env, actor: str) -> np.ndarray:
+    """Linear velocity (B, 3) of a free body."""
+    idx = env.model.free_index[actor]
+    return np.asarray(env._state.sim.free_vel[:, idx, :3])
+
+
 def _quat_apply_np(q: np.ndarray, v: np.ndarray) -> np.ndarray:
     """Batched quaternion rotation (B, 4) x (B, 3) -> (B, 3)."""
     w = q[:, 0:1]
@@ -308,34 +314,47 @@ def solve_roll_ball(env, recorder=None):
     goal = np.asarray(
         env._state.sim.kin_pose[:, env.model.kin_index["goal_region"], :3]
     )
-    # strike cycles: line up behind the ball, accelerate THROUGH it toward
-    # the goal (a slow carry stops with the tcp; the ball must ROLL), wait
-    # for the roll to settle, repeat. Done envs hold still (zero error).
-    for _cycle in range(4):
-        for _ in range(22):  # line up behind the ball, above trap height
-            tcp, ball = _tcp_and_actor(env, "ball")
-            d = goal[:, :2] - ball[:, :2]
-            dist = np.linalg.norm(d, axis=1, keepdims=True)
-            done = dist < 0.07
-            n = dist.clip(1e-6)
-            tgt = np.concatenate([ball[:, :2] - d / n * 0.08,
-                                  np.full((B, 1), 0.045)], 1)
-            err = np.where(done, 0.0, (tgt - tcp) * 3.0)
-            out = act(np.clip(err, -0.4, 0.4))
-        for _ in range(10):  # strike through the ball center
-            tcp, ball = _tcp_and_actor(env, "ball")
-            d = goal[:, :2] - ball[:, :2]
-            dist = np.linalg.norm(d, axis=1, keepdims=True)
-            done = dist < 0.07
-            n = dist.clip(1e-6)
-            thrust = np.concatenate([d / n, np.zeros((B, 1))], 1)
-            # strike magnitude scales with remaining distance
-            mag = np.clip(0.35 + 0.6 * dist, 0.0, 1.0)
-            out = act(np.where(done, 0.0, thrust * mag))
-        for _ in range(18):  # let it roll; retreat up and clear
-            tcp, ball = _tcp_and_actor(env, "ball")
-            up = np.tile(np.array([0.0, 0, 0.12], np.float32), (B, 1))
-            out = act(np.clip(up - 0.0 * tcp, -0.3, 0.3))
+    # The engine has no rolling resistance: a struck sphere never stops
+    # on its own (debug trace: the ball crossed the goal at ~1 m/s and
+    # rolled off the table while success flickered for one step). The
+    # solution therefore (a) strikes SOFTLY through the ball, then
+    # (b) sprints ahead along a high arc and parks the closed gripper
+    # just past the goal as a backstop the ball rolls into.
+    strike = np.zeros((B, 1), np.float32)  # steps left in current strike
+    for t in range(240):
+        tcp, ball = _tcp_and_actor(env, "ball")
+        bv = _actor_vel(env, "ball")
+        d = goal[:, :2] - ball[:, :2]
+        dist = np.linalg.norm(d, axis=1, keepdims=True)
+        dhat = d / dist.clip(1e-6)
+        speed = np.linalg.norm(bv[:, :2], axis=1, keepdims=True)
+        done = (dist < 0.08) & (speed < 0.05)
+        rolling = speed > 0.12
+        behind = np.concatenate(
+            [ball[:, :2] - dhat * 0.085, np.full((B, 1), 0.042)], 1)
+        xy_far = np.linalg.norm(
+            (behind - tcp)[:, :2], axis=1, keepdims=True) > 0.035
+        # approach the line-up point from above (a low direct path would
+        # plow the ball); drop once xy-aligned
+        lineup = np.where(xy_far, behind + np.array([0, 0, 0.11]), behind)
+        near = (np.linalg.norm(behind - tcp, axis=1, keepdims=True)
+                < 0.03)
+        strike = np.where(done | rolling, 0.0,
+                          np.where(strike > 0, strike - 1,
+                                   np.where(near, 8.0, 0.0)))
+        striking = strike > 0
+        thrust = np.concatenate([dhat * 0.45, np.zeros((B, 1))], 1)
+        # backstop just past the goal along the travel direction
+        wall = np.concatenate(
+            [goal[:, :2] + dhat * 0.045, np.full((B, 1), 0.045)], 1)
+        wall_far = np.linalg.norm(
+            (wall - tcp)[:, :2], axis=1, keepdims=True) > 0.06
+        block = np.where(wall_far, wall + np.array([0, 0, 0.13]), wall)
+        err = np.where(striking, thrust,
+                       np.where(rolling, (block - tcp) * 4.0,
+                                (lineup - tcp) * 3.0))
+        err = np.where(done, 0.0, err)
+        out = act(np.clip(err, -0.55, 0.55))
     info = out[-1]
     return np.asarray(info.get("success"))
 
@@ -592,24 +611,27 @@ def solve_pull_cube_tool(env, recorder=None):
     sv.to(lambda: tool() + grasp_off + np.array([0, 0, 0.001]),
           steps=32, gain=2.5, clip=0.35)
     sv.hold(8, grip=-1.0)
-    # carry the tool so the hook lands BEYOND the cube (tool origin target
-    # = cube - hook tip offset + margin), travelling high to clear the cube
-    def tool_target(z):
+    # carry the tool so the hook lands BEYOND the cube. Clearance matters:
+    # carried at z=0.08 with 1.5 cm x-margin, the sagging hook end nudged
+    # the cube and chased it off the table corner (debug trace: cube
+    # 0.15 -> 0.21 m during the carry). Travel HIGH (z=0.14) with 4.5 cm
+    # x-margin, then descend vertically before dragging.
+    def tool_target(z, xoff=0.09):
         c = cube()
         tgt = np.empty((B, 3), np.float32)
-        tgt[:, 0] = c[:, 0] + 0.06 - (hl / 2 - hk / 2)
+        tgt[:, 0] = c[:, 0] + xoff - (hl / 2 - hk / 2)
         tgt[:, 1] = c[:, 1] - 2 * w
         tgt[:, 2] = z
         return tgt
 
     for _ in range(40):
-        err = tool_target(0.08) - tool()
+        err = tool_target(0.14) - tool()
         sv.act(np.clip(err * 2.5, -0.35, 0.35), grip=-1.0)
-    for _ in range(18):
+    for _ in range(20):
         err = tool_target(0.012) - tool()
         sv.act(np.clip(err * 2.0, -0.2, 0.2), grip=-1.0)
-    # drag back toward the robot base
-    for _ in range(55):
+    # drag back toward the robot base (hook engages after the 4.5 cm gap)
+    for _ in range(60):
         d = np.tile(np.array([-0.30, 0.0, 0.0], np.float32), (B, 1))
         sv.act(d, grip=-1.0)
     sv.hold(4, grip=-1.0)
@@ -643,52 +665,63 @@ def solve_draw_outline(env, recorder=None, settle_steps: int = 2):
 
 
 def solve_fold_suitcase(env, recorder=None):
-    """FoldSuitcase-v1 (reference solutions/fold_suitcase.py): press the
-    open lid along its closing arc until the hinge passes the target
-    angle. Presses at ~40% from the hinge (smaller reach envelope than the
-    lid tip; the panda cannot reach past the far edge)."""
+    """FoldSuitcase-v1 (reference solutions/fold_suitcase.py: rim
+    waypoints pulled along the closing arc, fold_suitcase.py:341-405):
+    reach over the open lid, press the FAR face near the rim, and walk the
+    contact point along the closing arc. Only the far face produces a
+    closing torque — the near (robot-side) face's contact normal opens the
+    hinge — so the press approaches from beyond the panel. Past vertical
+    the lid's own weight closes it; the arm retreats up and away."""
     assert env.control_mode in ("pd_ee_delta_pos", "pd_ee_delta_pose")
     sv = _PoseServo(env, recorder)
     B = env.num_envs
+    bh, lh = env.base_half, env.lid_half
+    hinge = np.array([env.suitcase_x + bh[0], 0.0, 2 * bh[2]], np.float32)
 
-    def lid_state():
-        s = env._state
+    def lid_q():
+        return np.asarray(env._state.sim.qpos[:, env._lid_body])
 
-        def f(st):
-            ctx = TaskContext(env, st)
-            b = env._lid_body
-            return ctx.body_pos[b], ctx.body_quat[b]
+    def on_panel(q, s_from_tip, normal_off):
+        """World point s_from_tip up the panel from the rim, offset along
+        the far-face normal (panel local +z at q past vertical)."""
+        c, s = np.cos(q), np.sin(q)
+        vx = -(2 * lh[0] - s_from_tip)
+        vz = lh[2]
+        # R_y(q) @ (vx, 0, vz), then + normal_off * R_y(q) @ (0, 0, 1)
+        x = vx * c + vz * s + normal_off * s
+        z = -vx * s + vz * c + normal_off * c
+        return hinge + np.stack(
+            [x, np.zeros_like(x), z], 1).astype(np.float32)
 
-        p, q = jax.vmap(f)(s)
-        return np.asarray(p), np.asarray(q)
-
-    def press_point_and_dir(frac=0.45):
-        p, q = lid_state()
-        # lid frame: panel extends along -x from the hinge
-        off = np.tile(
-            np.array([-2.0 * env.lid_half[0] * frac, 0.0,
-                      env.lid_half[2] + 0.01], np.float32), (B, 1))
-        pt = p + _quat_apply_np(q, off)
-        r = pt - p  # hinge == body origin (revolute joint frame)
-        t = -np.cross(np.tile(np.array([0.0, 1.0, 0.0]), (B, 1)), r)
-        t = t / np.linalg.norm(t, axis=1, keepdims=True).clip(1e-9)
-        return pt, t
-
-    # approach from ABOVE the press point (an approach along the closing
-    # tangent passes through the panel and shoves the lid open)
-    for _ in range(35):
-        pt, t = press_point_and_dir()
+    # 1) arc over the lid: hover high just beyond the rim (staying inside
+    #    the reach envelope — large far-normal offsets at q~2.1 leave it)
+    for _ in range(30):
         tcp, _ = _tcp_pose(env)
-        above = pt + np.array([0.0, 0.0, 0.06], np.float32)
-        sv.act(np.clip((above - tcp) * 2.5, -0.5, 0.5), grip=-1.0)
-    # press through the lid along the closing tangent until closed
-    # (~1.6 rad of arc at a few hundredths rad/step)
-    for _ in range(150):
-        pt, t = press_point_and_dir()
+        tgt = on_panel(lid_q(), 0.0, 0.02) + np.array([0.0, 0, 0.12])
+        sv.act(np.clip((tgt - tcp) * 3.0, -0.5, 0.5), grip=-1.0)
+    # 2) descend onto the far face just below the rim
+    for _ in range(25):
         tcp, _ = _tcp_pose(env)
-        sv.act(np.clip((pt + t * 0.04 - tcp) * 3.0, -0.3, 0.3),
+        tgt = on_panel(lid_q(), 0.03, 0.035)
+        sv.act(np.clip((tgt - tcp) * 2.5, -0.3, 0.3), grip=-1.0)
+    # 3) press INTO the far face, tracking the panel ALL the way below the
+    #    success angle: hinge dry friction (0.5 N m) exceeds the lid's
+    #    gravity torque (<=0.13 N m), so the lid sticks wherever the press
+    #    stops — gravity never finishes the close on its own
+    q_stop = 0.85 * env.target_qpos
+    for _ in range(170):
+        q = lid_q()
+        tcp, _ = _tcp_pose(env)
+        tgt = on_panel(q, 0.04, -0.02)
+        err = (tgt - tcp) * 3.0
+        done = q < q_stop
+        err = np.where(done[:, None], 0.0, err)
+        sv.act(np.clip(err, -0.25, 0.25), grip=-1.0)
+    # 4) retreat up/away so the falling lid doesn't land on the fingers
+    for _ in range(18):
+        sv.act(np.tile(np.array([0.25, 0, 0.4], np.float32), (B, 1)),
                grip=-1.0)
-    sv.hold(4, grip=-1.0)
+    sv.hold(22, grip=-1.0)  # lid settles closed on the base
     return sv.success()
 
 

@@ -175,7 +175,17 @@ def supports(model: SceneModel) -> bool:
             return False
     # VMEM budget gate; n_all is additionally capped: the scalarized
     # Cholesky is O(n_all^3) unrolled ops (compile-time bound, not VMEM).
-    if model.nq + 6 * model.n_free > 32:
+    n_all = model.nq + 6 * model.n_free
+    if n_all > 32:
+        return False
+    # Emitted-program-size envelope: the kernel is Python-unrolled per
+    # contact point (per-chunk static dof pruning), so the program grows
+    # ~P*n_all. The remote TPU compiler crashes (tpu_compile_helper exit 1)
+    # beyond roughly 2x the largest config that compiles — PlugCharger
+    # P=453*n_all=15 = 6.8k is fine; TwoRobotPushCube P=832*n_all=30 = 25k
+    # is not (observed round 5). Scenes past the envelope take the XLA
+    # path, which handles them correctly at lower throughput.
+    if model.n_points * n_all > 12_000:
         return False
     est_full, est_chunked = _vmem_estimates(model)
     return min(est_full, est_chunked) <= _VMEM_BUDGET
@@ -190,8 +200,10 @@ def _vmem_estimates(model):
     Full mode holds the whole-P narrowphase stacks (cpos/cnrm/cdep + lever
     arms, ~10 (P, 8, 128) arrays) for the substep; chunked mode (round 5)
     recomputes narrowphase per _CHUNK of points in both contact passes, so
-    only the lam/lamt carry is P-persistent — what lets multi-robot scenes
-    (TwoRobotPushCube P=832) fit."""
+    only the lam/lamt carry is P-persistent. That removes the VMEM wall
+    for large P, but the program-size envelope in supports() still bounds
+    what the TPU compiler accepts (TwoRobotPushCube P=832 fits VMEM in
+    chunked mode yet crashes the remote compiler; it stays on XLA)."""
     nq = model.nq
     F = model.n_free
     P = model.n_points

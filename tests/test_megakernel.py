@@ -169,8 +169,9 @@ def test_megakernel_hull_models(env_id):
 
 def test_megakernel_chunked_narrowphase_matches_xla(pick_env):
     """Chunked-narrowphase mode (recompute per chunk instead of full-P
-    stacks — the VMEM path that admits multi-robot scenes like
-    TwoRobotPushCube P=832) must produce the same physics as full mode."""
+    stacks — the VMEM path for large-P scenes within the compile-size
+    envelope; see supports()) must produce the same physics as full
+    mode."""
     env = pick_env
     env.reset(seed=0)
     model = env.model

@@ -37,6 +37,10 @@ class Logger:
             info = out[-1]
             succ = np.asarray(info.get("success")).astype(int)
             msg.append(f"succ={succ}")
+            for k, v in info.items():
+                v = np.asarray(v)
+                if k != "success" and v.ndim <= 1 and v.dtype != object:
+                    msg.append(f"{k}={np.round(np.asarray(v, float), 3)}")
             print(" ".join(msg), flush=True)
         self.i += 1
         return out
