@@ -338,15 +338,25 @@ def solve_roll_ball(env, recorder=None):
         # plow the ball); drop once xy-aligned
         lineup = np.where(xy_far, behind + np.array([0, 0, 0.11]), behind)
         near = (np.linalg.norm(behind - tcp, axis=1, keepdims=True)
-                < 0.03)
+                < 0.015)
         strike = np.where(done | rolling, 0.0,
                           np.where(strike > 0, strike - 1,
                                    np.where(near, 8.0, 0.0)))
         striking = strike > 0
-        thrust = np.concatenate([dhat * 0.45, np.zeros((B, 1))], 1)
-        # backstop just past the goal along the travel direction
-        wall = np.concatenate(
-            [goal[:, :2] + dhat * 0.045, np.full((B, 1), 0.045)], 1)
+        # strike = servo THROUGH the ball center (self-corrects lateral
+        # error — a blind thrust's glancing contact deflects the sphere
+        # off the goal line)
+        strike_tgt = np.concatenate(
+            [ball[:, :2] + dhat * 0.12, np.full((B, 1), 0.042)], 1)
+        thrust = np.clip((strike_tgt - tcp) * 4.0, -0.5, 0.5)
+        # backstop on the ball's TRAVEL LINE at its closest approach to
+        # the goal, slightly beyond (a deflected ball is stopped on its
+        # actual path, then re-struck from there)
+        vhat = bv[:, :2] / speed.clip(1e-6)
+        along = np.clip(np.sum(d * vhat, axis=1, keepdims=True),
+                        0.0, None)
+        wall_xy = ball[:, :2] + vhat * (along + 0.045)
+        wall = np.concatenate([wall_xy, np.full((B, 1), 0.045)], 1)
         wall_far = np.linalg.norm(
             (wall - tcp)[:, :2], axis=1, keepdims=True) > 0.06
         block = np.where(wall_far, wall + np.array([0, 0, 0.13]), wall)

@@ -303,17 +303,22 @@ class Camera:
     # pixel-chunking: past this many rays the trace is split into blocks
     # processed sequentially with lax.map (compile size and peak memory
     # become resolution-independent, same trick as the physics
-    # mega-kernel's per-point _CHUNK pipeline)
+    # mega-kernel's per-point _CHUNK pipeline). MS_RENDER_CHUNK overrides
+    # the cap (runtime tuning knob; larger blocks = fewer sequential map
+    # steps, more VMEM/compile size).
     _MAX_CHUNK = 20480
 
     @staticmethod
     def _pick_chunk(N: int) -> int:
-        if N <= Camera._MAX_CHUNK:
+        import os
+
+        cap = int(os.environ.get("MS_RENDER_CHUNK", Camera._MAX_CHUNK))
+        if N <= cap:
             return N
         for k in range(2, 129):
-            if N % k == 0 and N // k <= Camera._MAX_CHUNK:
+            if N % k == 0 and N // k <= cap:
                 return N // k
-        return Camera._MAX_CHUNK  # no small divisor: pad
+        return cap  # no small divisor: pad
 
     def render(self, state, body_pos, body_quat, wanted=None):
         """Single-env render. Returns dict with (subsets gated by the

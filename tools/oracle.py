@@ -284,8 +284,19 @@ def main():
         else:
             results.append(run_convergence(env_id, args.episodes,
                                            args.refine))
-    with open("/root/repo/ORACLE_RESULTS.json", "w") as f:
-        json.dump(results, f, indent=1)
+    # merge by env_id into the committed artifact (separate runs per task
+    # must not clobber each other)
+    path = "/root/repo/ORACLE_RESULTS.json"
+    try:
+        with open(path) as f:
+            prior = json.load(f)
+    except Exception:
+        prior = []
+    merged = {r["env_id"]: r for r in prior}
+    for r in results:
+        merged[r["env_id"]] = r
+    with open(path, "w") as f:
+        json.dump(list(merged.values()), f, indent=1)
     print(json.dumps([{k: v for k, v in r.items() if k != "episodes"}
                       for r in results]))
 

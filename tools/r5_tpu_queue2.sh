@@ -12,4 +12,8 @@ echo "=== oracle $(date)" | tee -a /tmp/r5_queue2.log
 timeout 3600 python tools/oracle.py PushCube-v1 PickCube-v1 --episodes 5 \
   > /tmp/r5_oracle.log 2>&1
 echo "oracle rc=$?" | tee -a /tmp/r5_queue2.log
+echo "=== oracle stackcube $(date)" | tee -a /tmp/r5_queue2.log
+timeout 3600 python tools/oracle.py StackCube-v1 --episodes 2 \
+  > /tmp/r5_oracle_stack.log 2>&1
+echo "oracle-stack rc=$?" | tee -a /tmp/r5_queue2.log
 echo "=== done $(date)" | tee -a /tmp/r5_queue2.log
