@@ -50,6 +50,28 @@ class PickSingleHullEnv(PickCubeEnv):
         ex["model_id"] = jnp.zeros((), jnp.int32)
         return ex
 
+    def compute_dense_reward(self, state, action, info, ctx):
+        # reference pick_single_ycb.py:238-262 (differs from PickCube's):
+        # reach + grasped + place*grasped + placed*grasped +
+        # static*placed*grasped, success -> 6
+        obj_p = ctx.actor_pose("cube").p
+        goal_p = ctx.actor_pose("goal_site").p
+        reward = 1.0 - jnp.tanh(
+            5.0 * jnp.linalg.norm(obj_p - ctx.tcp_pose.p))
+        grasped = info["is_grasped"].astype(jnp.float32)
+        reward = reward + grasped
+        place = 1.0 - jnp.tanh(5.0 * jnp.linalg.norm(goal_p - obj_p))
+        reward = reward + place * grasped
+        placed = info["is_obj_placed"].astype(jnp.float32)
+        reward = reward + placed * grasped
+        static = 1.0 - jnp.tanh(
+            5.0 * jnp.linalg.norm(state.sim.qvel[:-2]))
+        reward = reward + static * placed * grasped
+        return jnp.where(info["success"], 6.0, reward)
+
+    def compute_normalized_dense_reward(self, state, action, info, ctx):
+        return self.compute_dense_reward(state, action, info, ctx) / 6.0
+
     def _initialize_episode(self, state: EnvState, key) -> EnvState:
         return self._init_with_prev(state, key, prev=None)
 

@@ -265,3 +265,25 @@ def test_pull_cube_tool_reward_golden():
         if _num(info["success"]):
             expected += 5.0
         assert abs(_reward_of(env, st, ctx, info, action) - expected) < 1e-3
+
+
+def test_pick_single_hull_reward_golden():
+    """reference pick_single_ycb.py:238-262 (NOT PickCube's formula):
+    reach + grasped + place*grasped + placed*grasped +
+    static*placed*grasped, success -> 6."""
+    for env, st, ctx, info, action in _states_and_ctx("PickSingleHull-v1"):
+        tcp = _vec(ctx.tcp_pose.p)
+        obj = _vec(ctx.actor_pose("cube").p)
+        goal = _vec(ctx.actor_pose("goal_site").p)
+        grasped = _num(info["is_grasped"])
+        expected = 1 - np.tanh(5 * np.linalg.norm(obj - tcp))
+        expected += grasped
+        expected += (1 - np.tanh(5 * np.linalg.norm(goal - obj))) * grasped
+        placed = _num(info["is_obj_placed"])
+        expected += placed * grasped
+        qvel_arm = _vec(st.sim.qvel[:-2])
+        expected += (1 - np.tanh(5 * np.linalg.norm(qvel_arm))) * (
+            placed * grasped)
+        if _num(info["success"]):
+            expected = 6.0
+        assert abs(_reward_of(env, st, ctx, info, action) - expected) < 1e-3
