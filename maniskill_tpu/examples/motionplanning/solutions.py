@@ -314,14 +314,15 @@ def solve_roll_ball(env, recorder=None):
     goal = np.asarray(
         env._state.sim.kin_pose[:, env.model.kin_index["goal_region"], :3]
     )
-    # The engine has no rolling resistance: a struck sphere never stops
-    # on its own (debug trace: the ball crossed the goal at ~1 m/s and
-    # rolled off the table while success flickered for one step). The
-    # solution therefore (a) strikes SOFTLY through the ball, then
-    # (b) sprints ahead along a high arc and parks the closed gripper
-    # just past the goal as a backstop the ball rolls into.
-    strike = np.zeros((B, 1), np.float32)  # steps left in current strike
-    for t in range(240):
+    # The engine has no rolling resistance: a struck sphere never stops on
+    # its own, and pushing a sphere with the closed fist is laterally
+    # unstable (any contact offset grows — debug traces showed 45-degree
+    # deflections and balls rolling off the table). So: DRIBBLE — keep the
+    # fist just behind the ball and advance slowly, re-steering every step
+    # (quasi-static push; lateral error cannot grow faster than the
+    # re-steer) — then near the goal hop OVER the ball, drop in front, and
+    # let it roll into the parked fist, which pins it in the region.
+    for t in range(260):
         tcp, ball = _tcp_and_actor(env, "ball")
         bv = _actor_vel(env, "ball")
         d = goal[:, :2] - ball[:, :2]
@@ -329,42 +330,30 @@ def solve_roll_ball(env, recorder=None):
         dhat = d / dist.clip(1e-6)
         speed = np.linalg.norm(bv[:, :2], axis=1, keepdims=True)
         done = (dist < 0.08) & (speed < 0.05)
-        rolling = speed > 0.12
+        capture = dist < 0.11
+        # capture: park in front along the travel/goal line
+        front = np.concatenate(
+            [ball[:, :2] + dhat * 0.055, np.full((B, 1), 0.045)], 1)
+        f_far = np.linalg.norm(
+            (front - tcp)[:, :2], axis=1, keepdims=True) > 0.045
+        cap_tgt = np.where(f_far, front + np.array([0, 0, 0.10]), front)
+        # dribble: fist face at the ball's back equator (ball r 0.035 +
+        # fist half-width ~0.013), carrot 3 cm ahead so the push never
+        # reaches servo equilibrium (a ball-relative target stalls: the
+        # tcp converges onto it and the contact force balances out)
         behind = np.concatenate(
-            [ball[:, :2] - dhat * 0.085, np.full((B, 1), 0.042)], 1)
-        xy_far = np.linalg.norm(
-            (behind - tcp)[:, :2], axis=1, keepdims=True) > 0.035
-        # approach the line-up point from above (a low direct path would
-        # plow the ball); drop once xy-aligned
-        lineup = np.where(xy_far, behind + np.array([0, 0, 0.11]), behind)
-        near = (np.linalg.norm(behind - tcp, axis=1, keepdims=True)
-                < 0.015)
-        strike = np.where(done | rolling, 0.0,
-                          np.where(strike > 0, strike - 1,
-                                   np.where(near, 8.0, 0.0)))
-        striking = strike > 0
-        # strike = servo THROUGH the ball center (self-corrects lateral
-        # error — a blind thrust's glancing contact deflects the sphere
-        # off the goal line)
-        strike_tgt = np.concatenate(
-            [ball[:, :2] + dhat * 0.12, np.full((B, 1), 0.042)], 1)
-        thrust = np.clip((strike_tgt - tcp) * 4.0, -0.5, 0.5)
-        # backstop on the ball's TRAVEL LINE at its closest approach to
-        # the goal, slightly beyond (a deflected ball is stopped on its
-        # actual path, then re-struck from there)
-        vhat = bv[:, :2] / speed.clip(1e-6)
-        along = np.clip(np.sum(d * vhat, axis=1, keepdims=True),
-                        0.0, None)
-        wall_xy = ball[:, :2] + vhat * (along + 0.045)
-        wall = np.concatenate([wall_xy, np.full((B, 1), 0.045)], 1)
-        wall_far = np.linalg.norm(
-            (wall - tcp)[:, :2], axis=1, keepdims=True) > 0.06
-        block = np.where(wall_far, wall + np.array([0, 0, 0.13]), wall)
-        err = np.where(striking, thrust,
-                       np.where(rolling, (block - tcp) * 4.0,
-                                (lineup - tcp) * 3.0))
+            [ball[:, :2] - dhat * 0.048, np.full((B, 1), 0.040)], 1)
+        b_far = np.linalg.norm(
+            (behind - tcp)[:, :2], axis=1, keepdims=True) > 0.055
+        carrot = behind + np.concatenate(
+            [dhat * 0.03, np.zeros((B, 1))], 1)
+        drib_tgt = np.where(b_far, behind + np.array([0, 0, 0.11]), carrot)
+        gain = np.where(capture, 3.0, 2.0)
+        clip = np.where(capture | b_far, 0.45, 0.12)
+        err = np.where(capture, (cap_tgt - tcp) * gain,
+                       (drib_tgt - tcp) * gain)
         err = np.where(done, 0.0, err)
-        out = act(np.clip(err, -0.55, 0.55))
+        out = act(np.clip(err, -clip, clip))
     info = out[-1]
     return np.asarray(info.get("success"))
 

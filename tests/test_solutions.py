@@ -21,6 +21,8 @@ SOLUTION_BARS = {
     "PickSingleHull-v1": 0.6,
     "DrawTriangle-v1": 0.9,
     "DrawSVG-v1": 0.9,
+    "PullCubeTool-v1": 0.6,
+    "FoldSuitcase-v1": 0.7,
 }
 
 
