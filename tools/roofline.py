@@ -81,13 +81,16 @@ def analyze(env_id):
     )
     row["vpu_ops_per_substep_per_env"] = ops
 
-    step = mk.make_pallas_step_fn(model, sim_steps=SIM_STEPS)
+    # jit the kernel call: unjitted, every invocation RE-TRACES the
+    # Python-unrolled program (~20 s of host tracing per call) and the
+    # measurement reads tracing time, not kernel time
+    step = jax.jit(mk.make_pallas_step_fn(model, sim_steps=SIM_STEPS))
     sim = env._state.sim
     cmd = env._state.cmd
     out, _ = step(sim, cmd)
     jax.block_until_ready(out.qpos)
     t0 = time.perf_counter()
-    reps = 5
+    reps = 20
     for _ in range(reps):
         out, _ = step(sim, cmd)
     jax.block_until_ready(out.qpos)
